@@ -1,0 +1,184 @@
+"""Synthetic box-room RGB-D renderer (test + benchmark data source).
+
+The reference is validated on TUM/ICL/TAMU sequences which are not shipped;
+SURVEY.md section 4 calls for synthetic-geometry integration tests: a textured
+axis-aligned room whose walls are exactly perpendicular, so Manhattan-frame
+detection must recover the ground-truth rotation and ATE can be measured
+against exact poses.
+
+The renderer is a vectorized numpy raycaster over axis-aligned rectangles
+(6 room faces + optional inner boxes), with a procedural high-contrast
+texture (checker + hash noise) that gives FAST corners and LSD-able edges.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from manhattanslam_tpu.config import CameraConfig
+
+
+@dataclass
+class BoxRoom:
+    """Axis-aligned room [0,sx]x[0,sy]x[0,sz] viewed from inside."""
+
+    size: tuple = (6.0, 3.0, 8.0)
+    boxes: list = field(default_factory=lambda: [((1.0, 0.0, 5.0), (2.2, 1.2, 6.2))])
+    seed: int = 7
+
+    def faces(self):
+        """Returns list of (axis, sign, coord, lo2d, hi2d) rectangles.
+
+        axis: normal axis; sign: +1 if normal points toward +axis (into room
+        for walls at coordinate 0).  Room faces seen from inside + box faces
+        seen from outside.
+        """
+        sx, sy, sz = self.size
+        out = []
+        # room walls: at 0 (normal +) and at s (normal -)
+        for ax, s in ((0, sx), (1, sy), (2, sz)):
+            lo = (0.0, 0.0)
+            hi = ({0: (sy, sz), 1: (sx, sz), 2: (sx, sy)})[ax]
+            out.append((ax, +1, 0.0, lo, hi))
+            out.append((ax, -1, s, lo, hi))
+        # inner boxes: normals point outward
+        for (bx0, by0, bz0), (bx1, by1, bz1) in self.boxes:
+            lohi = ((bx0, bx1), (by0, by1), (bz0, bz1))
+            for ax in range(3):
+                u, v = [a for a in range(3) if a != ax]
+                lo2 = (lohi[u][0], lohi[v][0])
+                hi2 = (lohi[u][1], lohi[v][1])
+                out.append((ax, -1, lohi[ax][0], lo2, hi2))
+                out.append((ax, +1, lohi[ax][1], lo2, hi2))
+        return out
+
+
+def _texture(u: np.ndarray, v: np.ndarray, face_id: int, seed: int) -> np.ndarray:
+    """Procedural gray texture in [0,255] with strong corners."""
+    # checkerboard at two scales + pseudo-random blocky noise
+    c1 = (np.floor(u * 4.0) + np.floor(v * 4.0)) % 2
+    c2 = (np.floor(u * 13.0) + np.floor(v * 13.0)) % 2
+    # integer-hash noise (stable, no RNG state)
+    iu = np.floor(u * 23.0).astype(np.int64)
+    iv = np.floor(v * 23.0).astype(np.int64)
+    h = (iu * 73856093) ^ (iv * 19349663) ^ ((face_id + seed) * 83492791)
+    noise = ((h % 251).astype(np.float32)) / 251.0
+    g = 60.0 + 110.0 * c1 + 45.0 * c2 + 40.0 * noise
+    return np.clip(g, 0, 255)
+
+
+def render_frame(
+    cam: CameraConfig,
+    Twc: np.ndarray,
+    room: BoxRoom,
+    depth_noise: float = 0.0,
+    rng: np.random.Generator | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Render (gray(H,W) float32 [0,255], depth(H,W) float32 meters).
+
+    Twc: camera-to-world 4x4.  Camera: z forward, x right, y down (as TUM).
+    """
+    H, W = cam.height, cam.width
+    xs = (np.arange(W, dtype=np.float32) - cam.cx) / cam.fx
+    ys = (np.arange(H, dtype=np.float32) - cam.cy) / cam.fy
+    dirs_cam = np.stack(
+        [np.tile(xs, (H, 1)), np.tile(ys[:, None], (1, W)), np.ones((H, W), np.float32)], -1
+    )
+    R = Twc[:3, :3].astype(np.float32)
+    o = Twc[:3, 3].astype(np.float32)
+    dirs = dirs_cam @ R.T  # world-frame ray directions (unnormalized; t = z-depth)
+
+    best_t = np.full((H, W), np.inf, np.float32)
+    gray = np.zeros((H, W), np.float32)
+    for fid, (ax, sign, coord, lo, hi) in enumerate(room.faces()):
+        d_ax = dirs[..., ax]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (coord - o[ax]) / d_ax
+        # facing check: ray must travel against the face normal to see it
+        facing = (d_ax * sign) < -1e-9
+        pts = o[None, None, :] + t[..., None] * dirs
+        u_ax, v_ax = [a for a in range(3) if a != ax]
+        u = pts[..., u_ax]
+        v = pts[..., v_ax]
+        hit = (
+            facing
+            & (t > 0.05)
+            & (t < best_t)
+            & (u >= lo[0] - 1e-6)
+            & (u <= hi[0] + 1e-6)
+            & (v >= lo[1] - 1e-6)
+            & (v <= hi[1] + 1e-6)
+        )
+        if not hit.any():
+            continue
+        tex = _texture(u, v, fid, room.seed)
+        gray = np.where(hit, tex, gray)
+        best_t = np.where(hit, t, best_t)
+
+    depth = np.where(np.isfinite(best_t), best_t, 0.0).astype(np.float32)
+    if depth_noise > 0 and rng is not None:
+        depth = depth + (depth > 0) * rng.normal(0, depth_noise, depth.shape).astype(
+            np.float32
+        ) * np.square(depth)
+    return gray, depth
+
+
+def orbit_poses(n: int, room: BoxRoom, radius: float = 1.0) -> np.ndarray:
+    """n camera-to-world poses: gentle arc inside the room looking at +z wall."""
+    sx, sy, sz = room.size
+    center = np.array([sx / 2, sy / 2, sz * 0.25], np.float32)
+    poses = []
+    for i in range(n):
+        a = 0.25 * np.sin(2 * np.pi * i / max(n, 1))
+        pos = center + np.array([radius * np.sin(a), 0.1 * np.sin(4 * a), 0.3 * a], np.float32)
+        yaw = 0.1 * np.sin(a * 3)
+        cy, sy_ = np.cos(yaw), np.sin(yaw)
+        R = np.array([[cy, 0, sy_], [0, 1, 0], [-sy_, 0, cy]], np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = pos
+        poses.append(T)
+    return np.stack(poses)
+
+
+class SyntheticSequence:
+    """Iterable RGB-D sequence over a BoxRoom (timestamps at 1/fps)."""
+
+    def __init__(
+        self,
+        n_frames: int = 60,
+        cam: CameraConfig | None = None,
+        room: BoxRoom | None = None,
+        depth_noise: float = 0.0,
+        seed: int = 0,
+    ):
+        self.cam = cam or CameraConfig(
+            fx=525.0, fy=525.0, cx=319.5, cy=239.5, k1=0, k2=0, p1=0, p2=0, k3=0
+        )
+        self.room = room or BoxRoom()
+        self.poses = orbit_poses(n_frames, self.room)  # ground-truth Twc
+        self.depth_noise = depth_noise
+        self.rng = np.random.default_rng(seed)
+        self.fps = 30.0
+
+    def __len__(self):
+        return len(self.poses)
+
+    def frame(self, i: int):
+        gray, depth = render_frame(
+            self.cam, self.poses[i], self.room, self.depth_noise, self.rng
+        )
+        return float(i) / self.fps, gray, depth
+
+    def gt_rows(self):
+        """Ground truth as (timestamp, twc, quat) rows for ATE evaluation."""
+        from manhattanslam_tpu.geometry import se3
+        import jax.numpy as jnp
+
+        rows = []
+        for i, T in enumerate(self.poses):
+            q = np.asarray(se3.rotmat_to_quat(jnp.asarray(T[:3, :3])))
+            rows.append((float(i) / self.fps, T[:3, 3].copy(), q))
+        return rows

@@ -1,0 +1,1 @@
+from manhattanslam_tpu.geometry import se3  # noqa: F401

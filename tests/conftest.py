@@ -1,0 +1,41 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Must run before jax is imported anywhere (pytest imports conftest first).
+Multi-chip sharding tests use the 8 virtual devices; everything else runs
+single-device CPU.  Set MSLAM_TEST_TPU=1 to run on real hardware instead.
+"""
+
+import os
+
+if not os.environ.get("MSLAM_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    # the axon site hook can override JAX_PLATFORMS after us; pin via config
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def synthetic_seq():
+    from manhattanslam_tpu.datasets.synthetic import SyntheticSequence
+    from manhattanslam_tpu.config import CameraConfig
+
+    # small images keep CPU tests fast
+    cam = CameraConfig(
+        fx=160.0, fy=160.0, cx=95.5, cy=71.5, k1=0, k2=0, p1=0, p2=0, k3=0,
+        width=192, height=144,
+    )
+    return SyntheticSequence(n_frames=12, cam=cam)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
