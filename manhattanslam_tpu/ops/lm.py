@@ -1,0 +1,395 @@
+"""Levenberg-Marquardt pose solver over point/line/plane residuals.
+
+Replaces the reference's g2o pose-only optimization (Optimizer.cc:53-590
+PoseOptimization; :592-1010 TranslationOptimization) and the vendored
+g2o library itself: the reference only ever solves a single 6-dof SE3
+vertex with unary edges, so the whole sparse machinery reduces to
+accumulating a 6x6 (or 3x3) normal system over vectorized residuals.
+
+Residual families (all semantics mirrored from
+Thirdparty/g2o/g2o/types/types_six_dof_expmap.h and plane_3d.h):
+
+- mono point   (2):  obs_uv - project(Tcw * Xw)                     [h:87-91]
+- stereo point (3):  obs_uvr - (project(.), u - bf/z)               [h:136-141]
+- line endpoint(1):  l . (u, v, 1) for each of the two endpoints    [h:180-189]
+- plane        (3):  (Tcw * pi_w).ominus(pi_obs)                    [h:362-368]
+- parallel pl. (2):  ominus_par (azimuth/elevation only)            [h:465-471]
+- vertical pl. (2):  ominus_ver                                     [plane_3d.h:95-104]
+
+Optimization schedule mirrors Optimizer.cc:401-582: 4 rounds x 10 LM
+iterations; between rounds, per-edge chi2 gating (5.991 mono / 7.815
+stereo / 2x5.991 line / Plane.Chi / Plane.VPChi) re-activates or deactivates
+edges; the Huber kernel is dropped from round 3 on (it==2 in the
+reference).  ``translation_only=True`` freezes the rotation — the
+Manhattan decoupled solve (OnlyTranslation edge variants, rotation rows of
+the Jacobian zeroed, h:440-454).
+
+Jacobians come from jax.jacfwd of the residual stack at xi=0 (6 or 3 JVP
+passes over fully vectorized residuals) — no hand-derived Jacobians to get
+wrong, and XLA fuses the whole solve into one program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from manhattanslam_tpu.geometry import se3
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+
+
+class PoseProblem(NamedTuple):
+    """Fixed-capacity residual sets. Masks select real entries."""
+
+    # mono points
+    mono_xw: jnp.ndarray  # (Nm, 3)
+    mono_obs: jnp.ndarray  # (Nm, 2)
+    mono_info: jnp.ndarray  # (Nm,) invSigma2
+    mono_mask: jnp.ndarray  # (Nm,) bool
+    # stereo points (u, v, uR)
+    st_xw: jnp.ndarray
+    st_obs: jnp.ndarray  # (Ns, 3)
+    st_info: jnp.ndarray
+    st_mask: jnp.ndarray
+    # line endpoints: one row per endpoint (2 per line)
+    ln_xw: jnp.ndarray  # (Nl, 3) endpoint world position
+    ln_eq: jnp.ndarray  # (Nl, 3) normalized image-line equation
+    ln_info: jnp.ndarray
+    ln_mask: jnp.ndarray
+    # planes (world coeffs vs observed camera-frame coeffs)
+    pl_w: jnp.ndarray  # (Np, 4)
+    pl_obs: jnp.ndarray  # (Np, 4)
+    pl_mask: jnp.ndarray
+    # parallel / vertical structural planes
+    par_w: jnp.ndarray
+    par_obs: jnp.ndarray
+    par_mask: jnp.ndarray
+    ver_w: jnp.ndarray
+    ver_obs: jnp.ndarray
+    ver_mask: jnp.ndarray
+
+
+def empty_problem(nm=512, ns=512, nl=128, np_=8, npar=8, nver=8) -> PoseProblem:
+    z = jnp.zeros
+    return PoseProblem(
+        mono_xw=z((nm, 3)), mono_obs=z((nm, 2)), mono_info=z((nm,)),
+        mono_mask=z((nm,), bool),
+        st_xw=z((ns, 3)), st_obs=z((ns, 3)), st_info=z((ns,)),
+        st_mask=z((ns,), bool),
+        ln_xw=z((nl, 3)), ln_eq=z((nl, 3)), ln_info=z((nl,)),
+        ln_mask=z((nl,), bool),
+        pl_w=z((np_, 4)), pl_obs=z((np_, 4)), pl_mask=z((np_,), bool),
+        par_w=z((npar, 4)), par_obs=z((npar, 4)), par_mask=z((npar,), bool),
+        ver_w=z((nver, 4)), ver_obs=z((nver, 4)), ver_mask=z((nver,), bool),
+    )
+
+
+# ---------------------------------------------------------------- plane math
+def normalize_plane(pi):
+    """Plane3D::normalize — unit normal, w-coefficient >= 0."""
+    n = jnp.linalg.norm(pi[..., :3], axis=-1, keepdims=True).clip(1e-12)
+    pi = pi / n
+    flip = pi[..., 3:4] < 0
+    return jnp.where(flip, -pi, pi)
+
+
+def plane_azimuth(v):
+    return jnp.arctan2(v[..., 1], v[..., 0])
+
+
+def plane_elevation(v):
+    return jnp.arctan2(v[..., 2], jnp.linalg.norm(v[..., :2], axis=-1).clip(1e-12))
+
+
+def _rotation_from_normal(n):
+    """Plane3D::rotation — Rz(azimuth) @ Ry(-elevation); maps (1,0,0) -> n."""
+    az = plane_azimuth(n)
+    el = plane_elevation(n)
+    ca, sa = jnp.cos(az), jnp.sin(az)
+    ce, se_ = jnp.cos(el), jnp.sin(el)
+    # Rz(az) @ Ry(-el)
+    return jnp.stack(
+        [
+            jnp.stack([ca * ce, -sa, -ca * se_], -1),
+            jnp.stack([sa * ce, ca, -sa * se_], -1),
+            jnp.stack([se_, jnp.zeros_like(az), ce], -1),
+        ],
+        -2,
+    )
+
+
+def transform_plane_g2o(T, pi):
+    """Plane3D operator* — transform plane coeffs by point-transform T."""
+    n2 = pi[..., :3] @ T[:3, :3].T
+    d2 = pi[..., 3] - jnp.sum(T[:3, 3] * n2, -1)
+    out = jnp.concatenate([n2, d2[..., None]], -1)
+    flip = out[..., 3:4] < 0
+    return jnp.where(flip, -out, out)
+
+
+def plane_ominus(pi_self, pi_other):
+    """Plane3D::ominus: 3-vector (azimuth, elevation, d_self - d_other).
+
+    distance() = -coeffs(3) after normalization.
+    """
+    pi_self = normalize_plane(pi_self)
+    pi_other = normalize_plane(pi_other)
+    R = _rotation_from_normal(pi_self[..., :3])
+    n = (jnp.swapaxes(R, -1, -2) @ pi_other[..., :3, None])[..., 0]
+    d = (-pi_self[..., 3]) - (-pi_other[..., 3])
+    return jnp.stack([plane_azimuth(n), plane_elevation(n), d], -1)
+
+
+def plane_ominus_par(pi_self, pi_other):
+    """Plane3D::ominus_par — sign-invariant azimuth/elevation residual."""
+    pi_self = normalize_plane(pi_self)
+    pi_other = normalize_plane(pi_other)
+    nor = pi_self[..., :3]
+    dot = jnp.sum(pi_other[..., :3] * nor, -1, keepdims=True)
+    nor = jnp.where(dot < 0, -nor, nor)
+    R = _rotation_from_normal(nor)
+    n = (jnp.swapaxes(R, -1, -2) @ pi_other[..., :3, None])[..., 0]
+    return jnp.stack([plane_azimuth(n), plane_elevation(n)], -1)
+
+
+def _rodrigues(axis, angle):
+    """Axis-angle rotation matrix, axis (…,3) unit, angle scalar."""
+    W = se3.hat(axis)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=axis.dtype), W.shape)
+    return eye + jnp.sin(angle) * W + (1 - jnp.cos(angle)) * (W @ W)
+
+
+def plane_ominus_ver(pi_self, pi_other):
+    """Plane3D::ominus_ver — residual after rotating self 90 deg toward other."""
+    pi_self = normalize_plane(pi_self)
+    pi_other = normalize_plane(pi_other)
+    ns, no = pi_self[..., :3], pi_other[..., :3]
+    v = jnp.cross(ns, no)
+    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True).clip(1e-12)
+    b = (_rodrigues(v, jnp.pi / 2) @ ns[..., None])[..., 0]
+    R = _rotation_from_normal(b)
+    n = (jnp.swapaxes(R, -1, -2) @ no[..., None])[..., 0]
+    return jnp.stack([plane_azimuth(n), plane_elevation(n)], -1)
+
+
+# ------------------------------------------------------------- residual stack
+def _residuals(T_cw, prob: PoseProblem, K, bf):
+    """Per-family raw residuals at pose T_cw (no weighting)."""
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    def proj(pw):
+        pc = pw @ T_cw[:3, :3].T + T_cw[:3, 3]
+        z = pc[:, 2]
+        zi = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        return pc[:, 0] / zi * fx + cx, pc[:, 1] / zi * fy + cy, z
+
+    # mono
+    mu, mv, _ = proj(prob.mono_xw)
+    r_mono = prob.mono_obs - jnp.stack([mu, mv], -1)  # (Nm,2)
+    # stereo
+    su, sv, sz = proj(prob.st_xw)
+    s_ur = su - bf / jnp.where(jnp.abs(sz) < 1e-9, 1e-9, sz)
+    r_st = prob.st_obs - jnp.stack([su, sv, s_ur], -1)  # (Ns,3)
+    # line endpoints: l . (u,v,1)
+    lu, lv, _ = proj(prob.ln_xw)
+    r_ln = (
+        prob.ln_eq[:, 0] * lu + prob.ln_eq[:, 1] * lv + prob.ln_eq[:, 2]
+    )[:, None]  # (Nl,1)
+    # planes
+    pl_c = transform_plane_g2o(T_cw, prob.pl_w)
+    r_pl = plane_ominus(pl_c, prob.pl_obs)  # (Np,3)
+    par_c = transform_plane_g2o(T_cw, prob.par_w)
+    r_par = plane_ominus_par(par_c, prob.par_obs)  # (Npar,2)
+    ver_c = transform_plane_g2o(T_cw, prob.ver_w)
+    r_ver = plane_ominus_ver(ver_c, prob.ver_obs)  # (Nver,2)
+    return r_mono, r_st, r_ln, r_pl, r_par, r_ver
+
+
+class SolveParams(NamedTuple):
+    angle_info: jnp.ndarray  # 3282.8 / AngleInfo^2
+    dis_info: jnp.ndarray  # DistanceInfo^2
+    par_info: jnp.ndarray
+    ver_info: jnp.ndarray
+    plane_chi: jnp.ndarray
+    vp_chi: jnp.ndarray
+
+
+def default_params(cfg=None) -> SolveParams:
+    if cfg is None:
+        a, d, p, v, c, vc = 0.5, 50.0, 0.5, 0.5, 100.0, 50.0
+    else:
+        pc = cfg.plane
+        a, d, p, v, c, vc = (
+            pc.angle_info, pc.distance_info, pc.parallel_info,
+            pc.vertical_info, pc.chi, pc.vp_chi,
+        )
+    return SolveParams(
+        angle_info=jnp.float32(3282.8 / (a * a)),
+        dis_info=jnp.float32(d * d),
+        par_info=jnp.float32(3282.8 / (p * p)),
+        ver_info=jnp.float32(3282.8 / (v * v)),
+        plane_chi=jnp.float32(c),
+        vp_chi=jnp.float32(vc),
+    )
+
+
+def _family_chi2(r_mono, r_st, r_ln, r_pl, r_par, r_ver, prob, params):
+    """Per-edge chi2 (information-weighted squared residuals)."""
+    chi_mono = jnp.sum(r_mono**2, -1) * prob.mono_info
+    chi_st = jnp.sum(r_st**2, -1) * prob.st_info
+    chi_ln = (r_ln[:, 0] ** 2) * prob.ln_info
+    w_pl = jnp.stack([params.angle_info, params.angle_info, params.dis_info])
+    chi_pl = jnp.sum(r_pl**2 * w_pl[None], -1)
+    chi_par = jnp.sum(r_par**2, -1) * params.par_info
+    chi_ver = jnp.sum(r_ver**2, -1) * params.ver_info
+    return chi_mono, chi_st, chi_ln, chi_pl, chi_par, chi_ver
+
+
+def _robust_weights(prob, params, masks, huber_on, T_cw, K, bf):
+    """Per-edge sqrt-weights (info x Huber x mask), computed at T_cw.
+
+    The weights are FROZEN for the linearization step (IRLS): g2o's robust
+    kernel rescales the quadratic model around the current estimate; the
+    weight is not differentiated through.
+    """
+    m_mono, m_st, m_ln, m_pl, m_par, m_ver = masks
+    rs = _residuals(T_cw, prob, K, bf)
+    chi = _family_chi2(*rs, prob, params)
+
+    def hw(chi2, delta, mask):
+        if not huber_on:
+            w = jnp.ones_like(chi2)
+        else:
+            e = jnp.sqrt(jnp.clip(chi2, 1e-12))
+            w = jnp.where(e <= delta, 1.0, jnp.sqrt(delta / e))
+        return jnp.where(mask, w, 0.0)
+
+    return (
+        hw(chi[0], jnp.sqrt(CHI2_MONO), m_mono) * jnp.sqrt(prob.mono_info),
+        hw(chi[1], jnp.sqrt(CHI2_STEREO), m_st) * jnp.sqrt(prob.st_info),
+        hw(chi[2], jnp.sqrt(CHI2_STEREO), m_ln) * jnp.sqrt(prob.ln_info),
+        hw(chi[3], jnp.sqrt(params.plane_chi), m_pl),
+        hw(chi[4], jnp.sqrt(params.vp_chi), m_par),
+        hw(chi[5], jnp.sqrt(params.vp_chi), m_ver),
+    )
+
+
+def _weighted_flat(prob, params, masks, weights, T_cw, K, bf):
+    """Flat weighted residual vector with given (frozen) per-edge weights."""
+    m_mono, m_st, m_ln, m_pl, m_par, m_ver = masks
+    w_mono, w_st, w_ln, w_pl, w_par, w_ver = weights
+    r_mono, r_st, r_ln, r_pl, r_par, r_ver = _residuals(T_cw, prob, K, bf)
+
+    sqrt_pl = jnp.sqrt(
+        jnp.stack([params.angle_info, params.angle_info, params.dis_info])
+    )
+    sqrt_par = jnp.sqrt(params.par_info)
+    sqrt_ver = jnp.sqrt(params.ver_info)
+
+    # jnp.where guards NaNs from padded rows out of the jacfwd tangents
+    # (forward-mode tangents of where() select the taken branch only)
+    def guard(mask, wr):
+        return jnp.where(mask[:, None], wr, 0.0).ravel()
+
+    return jnp.concatenate(
+        [
+            guard(m_mono, r_mono * w_mono[:, None]),
+            guard(m_st, r_st * w_st[:, None]),
+            guard(m_ln, r_ln * w_ln[:, None]),
+            guard(m_pl, r_pl * sqrt_pl[None] * w_pl[:, None]),
+            guard(m_par, r_par * sqrt_par * w_par[:, None]),
+            guard(m_ver, r_ver * sqrt_ver * w_ver[:, None]),
+        ]
+    )
+
+
+@partial(jax.jit, static_argnames=("translation_only", "n_rounds", "n_iters"))
+def solve_pose(
+    prob: PoseProblem,
+    T0: jnp.ndarray,
+    K: jnp.ndarray,
+    bf: float,
+    params: SolveParams,
+    translation_only: bool = False,
+    n_rounds: int = 4,
+    n_iters: int = 10,
+) -> dict:
+    """Run the 4x10 LM schedule.  Returns dict with T, inlier masks, chi2."""
+    dof = 3 if translation_only else 6
+
+    def retract(T, xi):
+        if translation_only:
+            return T.at[:3, 3].add(xi)
+        return se3.exp_se3(xi) @ T
+
+    masks0 = (
+        prob.mono_mask, prob.st_mask, prob.ln_mask,
+        prob.pl_mask, prob.par_mask, prob.ver_mask,
+    )
+
+    def run_round(T, masks, huber_on):
+        def lm_iter(carry, _):
+            T, lam = carry
+            # IRLS: freeze robust weights at the current estimate
+            w = _robust_weights(prob, params, masks, huber_on, T, K, bf)
+
+            def flat_at(T_):
+                return _weighted_flat(prob, params, masks, w, T_, K, bf)
+
+            r0 = flat_at(T)
+            J = jax.jacfwd(lambda xi: flat_at(retract(T, xi)))(
+                jnp.zeros((dof,), T.dtype)
+            )  # (R, dof)
+            H = J.T @ J
+            g = J.T @ r0
+            step = -jnp.linalg.solve(H + lam * jnp.eye(dof, dtype=T.dtype), g)
+            T_new = retract(T, step)
+            prev_cost = 0.5 * jnp.sum(r0 * r0)
+            new_cost = 0.5 * jnp.sum(flat_at(T_new) ** 2)
+            accept = (new_cost < prev_cost) & jnp.all(jnp.isfinite(step))
+            T = jnp.where(accept, T_new, T)
+            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+            return (T, jnp.clip(lam, 1e-8, 1e6)), None
+
+        (T, _), _ = jax.lax.scan(
+            lm_iter, (T, jnp.float32(1e-3)), None, length=n_iters
+        )
+        return T
+
+    T = T0
+    masks = masks0
+    for rnd in range(n_rounds):
+        T = run_round(T, masks, huber_on=(rnd < 2))
+        # re-gate against the ORIGINAL masks (edges can be re-activated,
+        # Optimizer.cc:428-436 level-0/1 flipping)
+        rs = _residuals(T, prob, K, bf)
+        chi = _family_chi2(*rs, prob, params)
+        masks = (
+            masks0[0] & (chi[0] <= CHI2_MONO),
+            masks0[1] & (chi[1] <= CHI2_STEREO),
+            masks0[2] & (chi[2] <= 2.0 * CHI2_MONO),
+            masks0[3] & (chi[3] <= params.plane_chi),
+            masks0[4] & (chi[4] <= params.vp_chi),
+            masks0[5] & (chi[5] <= params.vp_chi),
+        )
+
+    rs = _residuals(T, prob, K, bf)
+    chi = _family_chi2(*rs, prob, params)
+    n_inlier = sum(jnp.sum(m) for m in masks)
+    total_chi = sum(jnp.sum(jnp.where(m, c, 0.0)) for m, c in zip(masks, chi))
+    return {
+        "T": T,
+        "inlier_mono": masks[0],
+        "inlier_st": masks[1],
+        "inlier_ln": masks[2],
+        "inlier_pl": masks[3],
+        "inlier_par": masks[4],
+        "inlier_ver": masks[5],
+        "n_inliers": n_inlier,
+        "chi2": total_chi,
+    }

@@ -1,0 +1,204 @@
+"""Descriptor matching as masked MXU matmuls.
+
+TPU-native redesign of ORBmatcher (reference ORBmatcher.cc): instead of
+grid-bucketed candidate loops with per-pair popcount (DescriptorDistance,
+:835-851), we compute the full Hamming distance matrix on the MXU —
+unpack 256-bit descriptors to ±1 bf16 vectors, then
+``dist = (256 - a·b) / 2``.  At the reference's budgets (1000x1000x256)
+this is <1 GFLOP, far below one MXU-microsecond, so "compute everything,
+mask what the reference would have skipped" is the right trade.
+
+The reference's gating semantics are preserved as masks: search radius by
+predicted scale, descriptor distance thresholds TH_HIGH=100 / TH_LOW=50,
+best/second-best ratio, rotation-histogram consistency (HISTO_LENGTH=30,
+keep top-3 bins), and one-to-one conflict resolution.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from manhattanslam_tpu.ops.orb import unpack_descriptor_bits
+
+TH_HIGH = 100
+TH_LOW = 50
+HISTO_LENGTH = 30
+BIG = 1e9
+
+
+def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
+    """(N, 8)u32 x (M, 8)u32 -> (N, M) float32 Hamming distances via MXU.
+
+    popcount(a XOR b) == (256 - dot(sign_a, sign_b)) / 2 with ±1 encodings.
+    bf16 is exact here: products are ±1 and the 256-length accumulation is
+    done in float32 by the MXU.
+    """
+    sa = (2.0 * unpack_descriptor_bits(desc_a) - 1.0).astype(jnp.bfloat16)
+    sb = (2.0 * unpack_descriptor_bits(desc_b) - 1.0).astype(jnp.bfloat16)
+    dot = jax.lax.dot_general(
+        sa, sb,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return (256.0 - dot) * 0.5
+
+
+def rotation_consistency_mask(
+    angle_a: jnp.ndarray, angle_b: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """Rotation-histogram filter (ORBmatcher::ComputeThreeMaxima semantics).
+
+    angle_a/angle_b: per-match keypoint angles (radians); valid: (N,) bool.
+    Returns a mask keeping only matches whose angle difference falls in the
+    3 most populated of 30 bins.
+    """
+    diff = (angle_a - angle_b) % (2.0 * jnp.pi)
+    bins = jnp.clip(
+        (diff * (HISTO_LENGTH / (2.0 * jnp.pi))).astype(jnp.int32), 0, HISTO_LENGTH - 1
+    )
+    hist = jnp.zeros((HISTO_LENGTH,), jnp.int32).at[bins].add(valid.astype(jnp.int32))
+    top3 = jax.lax.top_k(hist, 3)[0]
+    # reference drops bins 2/3 if much weaker than the best (0.1 * max1)
+    thresh = jnp.maximum(top3[2], 1)
+    keep_bin = hist >= jnp.minimum(thresh, jnp.maximum((0.1 * top3[0]).astype(jnp.int32), 1))
+    in_top = keep_bin[bins]
+    return valid & in_top
+
+
+def resolve_one_to_one(
+    kp_idx: jnp.ndarray, dist: jnp.ndarray, valid: jnp.ndarray, n_kp: int
+) -> jnp.ndarray:
+    """Keep, per claimed keypoint, only the claimant with minimum distance.
+
+    kp_idx: (P,) chosen keypoint per source; dist: (P,); valid: (P,).
+    Equivalent of the reference's 'already matched' bookkeeping.
+    """
+    d = jnp.where(valid, dist, BIG)
+    best_per_kp = jnp.full((n_kp,), BIG, d.dtype).at[kp_idx].min(d)
+    # tie-break by source index: smallest index among equals wins
+    src = jnp.arange(kp_idx.shape[0])
+    is_best = d <= best_per_kp[kp_idx] + 1e-6
+    first_src = jnp.full((n_kp,), 1 << 30, jnp.int32).at[kp_idx].min(
+        jnp.where(valid & is_best, src, 1 << 30).astype(jnp.int32)
+    )
+    return valid & is_best & (first_src[kp_idx] == src)
+
+
+def match_descriptors(
+    desc_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    max_dist: float = TH_LOW,
+    ratio: float = 0.0,
+    extra_mask: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Nearest-neighbor descriptor matching A -> B.
+
+    extra_mask: optional (N, M) bool of allowed pairs (e.g. search windows).
+    Returns (idx_b (N,), dist (N,), valid (N,)).
+    """
+    d = hamming_matrix(desc_a, desc_b)
+    allow = valid_a[:, None] & valid_b[None, :]
+    if extra_mask is not None:
+        allow = allow & extra_mask
+    d = jnp.where(allow, d, BIG)
+    neg_top2, idx_top2 = jax.lax.top_k(-d, 2)
+    best, second = -neg_top2[:, 0], -neg_top2[:, 1]
+    idx = idx_top2[:, 0]
+    ok = best <= max_dist
+    if ratio > 0:
+        ok = ok & (best < ratio * second)
+    return idx, best, ok & valid_a
+
+
+def project_points(
+    T_cw: jnp.ndarray, pts_w: jnp.ndarray, K: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """World points -> (uv (N,2), z (N,)) in the camera of T_cw."""
+    pc = pts_w @ T_cw[:3, :3].T + T_cw[:3, 3]
+    z = pc[:, 2]
+    zi = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = pc[:, 0] / zi * K[0, 0] + K[0, 2]
+    v = pc[:, 1] / zi * K[1, 1] + K[1, 2]
+    return jnp.stack([u, v], -1), z
+
+
+def search_by_projection(
+    pts_w: jnp.ndarray,
+    descs: jnp.ndarray,
+    valid_pts: jnp.ndarray,
+    T_cw: jnp.ndarray,
+    feats: dict,
+    K: jnp.ndarray,
+    image_hw: tuple[int, int],
+    radius: float,
+    max_dist: float = TH_HIGH,
+    scale_factor: float = 1.2,
+    point_levels: jnp.ndarray | None = None,
+    level_tolerance: int = 1,
+    max_depth_ratio: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    view_dirs: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+) -> dict:
+    """Project landmarks into the frame and match within a pixel radius.
+
+    The vectorized equivalent of ORBmatcher::SearchByProjection
+    (ORBmatcher.cc:40-117 local-map variant and :548-678 last-frame
+    variant).  Gates: positive depth, in-image, per-level search radius
+    (radius * scale^level), optional scale-distance band and viewing-cos.
+
+    Returns dict(kp_idx (P,), dist (P,), valid (P,), proj_uv, z).
+    """
+    h, w = image_hw
+    uv, z = project_points(T_cw, pts_w, K)
+    in_img = (
+        (z > 0.05)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < w)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+    )
+    gate = valid_pts & in_img
+    if max_depth_ratio is not None:
+        min_d, max_d = max_depth_ratio
+        dist_w = z  # camera-frame depth as distance proxy
+        gate = gate & (dist_w >= min_d) & (dist_w <= max_d)
+    if view_dirs is not None:
+        normals, cam_center = view_dirs
+        po = pts_w - cam_center[None]
+        pn = po / jnp.linalg.norm(po, axis=-1, keepdims=True).clip(1e-9)
+        gate = gate & (jnp.sum(pn * normals, -1) > 0.5)
+
+    # per-point search radius scaled by predicted octave
+    if point_levels is None:
+        point_levels = jnp.zeros(pts_w.shape[0], jnp.int32)
+    rad = radius * scale_factor ** point_levels.astype(jnp.float32)
+
+    duv = feats["xy_und"][None, :, :] - uv[:, None, :]
+    pix_ok = (jnp.abs(duv[..., 0]) <= rad[:, None]) & (
+        jnp.abs(duv[..., 1]) <= rad[:, None]
+    )
+    lvl_diff = jnp.abs(feats["level"][None, :] - point_levels[:, None])
+    pix_ok = pix_ok & (lvl_diff <= level_tolerance)
+
+    idx, dist, ok = match_descriptors(
+        descs,
+        feats["desc"],
+        gate,
+        feats["valid"],
+        max_dist=max_dist,
+        extra_mask=pix_ok,
+    )
+    ok = resolve_one_to_one(idx, dist, ok, feats["desc"].shape[0])
+    return {"kp_idx": idx, "dist": dist, "valid": ok, "proj_uv": uv, "z": z}
+
+
+def predict_scale_level(
+    dist_w: jnp.ndarray, max_dist: jnp.ndarray, scale_factor: float, n_levels: int
+) -> jnp.ndarray:
+    """MapPoint::PredictScale — level = ceil(log(maxDist/dist)/log(scale))."""
+    ratio = jnp.clip(max_dist / dist_w.clip(1e-6), 1.0, None)
+    lvl = jnp.ceil(jnp.log(ratio) / jnp.log(scale_factor)).astype(jnp.int32)
+    return jnp.clip(lvl, 0, n_levels - 1)

@@ -1,0 +1,165 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from manhattanslam_tpu.geometry import se3
+from manhattanslam_tpu.ops import lm
+
+K = jnp.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]], jnp.float32)
+BF = 30.0
+
+
+def make_problem(rng, n_mono=60, n_st=60, outlier_frac=0.0, T_gt=None, planes=0):
+    if T_gt is None:
+        T_gt = np.eye(4, dtype=np.float32)
+    prob = lm.empty_problem(nm=128, ns=128, nl=16, np_=8, npar=8, nver=8)
+
+    def project(pw):
+        pc = pw @ np.asarray(T_gt)[:3, :3].T + np.asarray(T_gt)[:3, 3]
+        u = pc[:, 0] / pc[:, 2] * 300.0 + 160.0
+        v = pc[:, 1] / pc[:, 2] * 300.0 + 120.0
+        return u, v, pc[:, 2]
+
+    pts = rng.uniform([-2, -1.5, 2.0], [2, 1.5, 6.0], (n_mono, 3)).astype(np.float32)
+    u, v, z = project(pts)
+    obs = np.stack([u, v], -1)
+    n_out = int(outlier_frac * n_mono)
+    if n_out:
+        obs[:n_out] += rng.uniform(20, 80, (n_out, 2)) * rng.choice([-1, 1], (n_out, 2))
+    prob = prob._replace(
+        mono_xw=prob.mono_xw.at[:n_mono].set(pts),
+        mono_obs=prob.mono_obs.at[:n_mono].set(obs),
+        mono_info=prob.mono_info.at[:n_mono].set(1.0),
+        mono_mask=prob.mono_mask.at[:n_mono].set(True),
+    )
+    pts2 = rng.uniform([-2, -1.5, 2.0], [2, 1.5, 6.0], (n_st, 3)).astype(np.float32)
+    u2, v2, z2 = project(pts2)
+    obs2 = np.stack([u2, v2, u2 - BF / z2], -1)
+    prob = prob._replace(
+        st_xw=prob.st_xw.at[:n_st].set(pts2),
+        st_obs=prob.st_obs.at[:n_st].set(obs2),
+        st_info=prob.st_info.at[:n_st].set(1.0),
+        st_mask=prob.st_mask.at[:n_st].set(True),
+    )
+    if planes:
+        # axis-aligned planes observed in the T_gt camera frame
+        pw = np.array(
+            [[1, 0, 0, -3.0], [0, 1, 0, -2.0], [0, 0, 1, -7.0]], np.float32
+        )[:planes]
+        pc = np.asarray(
+            lm.transform_plane_g2o(jnp.asarray(T_gt), jnp.asarray(pw))
+        )
+        prob = prob._replace(
+            pl_w=prob.pl_w.at[:planes].set(pw),
+            pl_obs=prob.pl_obs.at[:planes].set(pc),
+            pl_mask=prob.pl_mask.at[:planes].set(True),
+        )
+    return prob
+
+
+def perturbed(T_gt, rng, rot=0.05, tr=0.1):
+    xi = np.concatenate(
+        [rng.normal(0, tr, 3), rng.normal(0, rot, 3)]
+    ).astype(np.float32)
+    return np.asarray(se3.exp_se3(jnp.asarray(xi)) @ jnp.asarray(T_gt))
+
+
+def test_plane_ominus_zero_for_equal():
+    pi = jnp.array([[0.6, 0.0, 0.8, 1.3]])
+    r = np.asarray(lm.plane_ominus(pi, pi))
+    np.testing.assert_allclose(r, 0, atol=1e-6)
+    r2 = np.asarray(lm.plane_ominus_par(pi, pi))
+    np.testing.assert_allclose(r2, 0, atol=1e-6)
+
+
+def test_plane_ominus_distance_component():
+    a = jnp.array([[1.0, 0, 0, 2.0]])
+    b = jnp.array([[1.0, 0, 0, 2.5]])
+    r = np.asarray(lm.plane_ominus(a, b))[0]
+    # distance() = -coeffs(3): d_a - d_b = -2 - (-2.5) = 0.5
+    np.testing.assert_allclose(r, [0, 0, 0.5], atol=1e-6)
+
+
+def test_plane_ominus_ver_zero_for_perpendicular():
+    a = jnp.array([[1.0, 0, 0, 1.0]])
+    b = jnp.array([[0.0, 0, 1.0, 2.0]])
+    r = np.asarray(lm.plane_ominus_ver(a, b))
+    np.testing.assert_allclose(r, 0, atol=1e-5)
+
+
+def test_transform_plane_g2o_points_stay_on_plane(rng):
+    xi = rng.normal(size=6).astype(np.float32) * 0.4
+    T = se3.exp_se3(jnp.asarray(xi))
+    pi = jnp.array([0.36, 0.48, 0.8, -1.7])
+    pts = []
+    # sample points on the plane
+    n = np.array([0.36, 0.48, 0.8]) / 1.0
+    p0 = -(-1.7) * n  # n.x + d = 0 -> x = -d n
+    for _ in range(5):
+        v = rng.normal(size=3)
+        v -= v.dot(n) * n
+        pts.append(p0 + v)
+    pts = jnp.asarray(np.array(pts, np.float32))
+    pts_t = se3.transform_points(T, pts)
+    pi_t = lm.transform_plane_g2o(T, pi[None])[0]
+    resid = pts_t @ pi_t[:3] + pi_t[3]
+    np.testing.assert_allclose(np.asarray(resid), 0, atol=1e-5)
+    assert float(pi_t[3]) >= 0  # normalization convention
+
+
+def test_solve_pose_recovers_gt(rng):
+    T_gt = np.asarray(
+        se3.exp_se3(jnp.array([0.3, -0.2, 0.1, 0.05, -0.03, 0.08], jnp.float32))
+    )
+    prob = make_problem(rng, T_gt=T_gt)
+    T0 = perturbed(T_gt, rng)
+    out = lm.solve_pose(prob, jnp.asarray(T0), K, BF, lm.default_params())
+    err = np.abs(np.asarray(out["T"]) - T_gt).max()
+    assert err < 1e-3, err
+    assert int(out["n_inliers"]) >= 110
+
+
+def test_solve_pose_with_outliers(rng):
+    T_gt = np.eye(4, dtype=np.float32)
+    prob = make_problem(rng, outlier_frac=0.3, T_gt=T_gt)
+    T0 = perturbed(T_gt, rng, rot=0.03, tr=0.05)
+    out = lm.solve_pose(prob, jnp.asarray(T0), K, BF, lm.default_params())
+    err = np.abs(np.asarray(out["T"]) - T_gt).max()
+    assert err < 5e-3, err
+    # outlier mono edges must be gated out
+    assert int(np.asarray(out["inlier_mono"]).sum()) <= 60 - 15
+
+
+def test_solve_pose_translation_only(rng):
+    T_gt = np.asarray(
+        se3.exp_se3(jnp.array([0.2, 0.1, -0.15, 0.0, 0.0, 0.0], jnp.float32))
+    )
+    prob = make_problem(rng, T_gt=T_gt)
+    # correct rotation, wrong translation (Manhattan decoupled solve)
+    T0 = T_gt.copy()
+    T0[:3, 3] += rng.normal(0, 0.2, 3).astype(np.float32)
+    out = lm.solve_pose(
+        prob, jnp.asarray(T0), K, BF, lm.default_params(), translation_only=True
+    )
+    Tr = np.asarray(out["T"])
+    np.testing.assert_allclose(Tr[:3, :3], T_gt[:3, :3], atol=1e-7)  # frozen
+    np.testing.assert_allclose(Tr[:3, 3], T_gt[:3, 3], atol=1e-3)
+
+
+def test_solve_pose_with_planes(rng):
+    T_gt = np.asarray(
+        se3.exp_se3(jnp.array([0.1, -0.1, 0.2, 0.04, 0.02, -0.05], jnp.float32))
+    )
+    prob = make_problem(rng, n_mono=30, n_st=30, T_gt=T_gt, planes=3)
+    T0 = perturbed(T_gt, rng)
+    out = lm.solve_pose(prob, jnp.asarray(T0), K, BF, lm.default_params())
+    assert np.abs(np.asarray(out["T"]) - T_gt).max() < 2e-3
+    assert int(np.asarray(out["inlier_pl"]).sum()) == 3
+
+
+def test_solve_pose_empty_problem_is_stable():
+    prob = lm.empty_problem()
+    T0 = jnp.eye(4)
+    out = lm.solve_pose(prob, T0, K, BF, lm.default_params())
+    assert np.all(np.isfinite(np.asarray(out["T"])))
+    np.testing.assert_allclose(np.asarray(out["T"]), np.eye(4), atol=1e-5)
