@@ -55,17 +55,30 @@ class BoxRoom:
         return out
 
 
+def _hash_noise(iu: np.ndarray, iv: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic integer-hash noise in [0, 1) — aperiodic by construction."""
+    h = (iu * 73856093) ^ (iv * 19349663) ^ (np.int64(salt) * 83492791)
+    h = (h ^ (h >> 13)) * 1274126177
+    return ((h ^ (h >> 16)) % 65521).astype(np.float32) / 65521.0
+
+
 def _texture(u: np.ndarray, v: np.ndarray, face_id: int, seed: int) -> np.ndarray:
-    """Procedural gray texture in [0,255] with strong corners."""
-    # checkerboard at two scales + pseudo-random blocky noise
-    c1 = (np.floor(u * 4.0) + np.floor(v * 4.0)) % 2
-    c2 = (np.floor(u * 13.0) + np.floor(v * 13.0)) % 2
-    # integer-hash noise (stable, no RNG state)
-    iu = np.floor(u * 23.0).astype(np.int64)
-    iv = np.floor(v * 23.0).astype(np.int64)
-    h = (iu * 73856093) ^ (iv * 19349663) ^ ((face_id + seed) * 83492791)
-    noise = ((h % 251).astype(np.float32)) / 251.0
-    g = 60.0 + 110.0 * c1 + 45.0 * c2 + 40.0 * noise
+    """Procedural gray texture in [0,255] with strong, NON-repeating corners.
+
+    Blocky hash noise at two scales: every cell boundary is an L-junction
+    with a locally unique neighborhood, so descriptors can discriminate
+    (a periodic texture would alias matches at the pattern period).
+    """
+    s = face_id * 7919 + seed
+    iu1 = np.floor(u * 4.0).astype(np.int64)
+    iv1 = np.floor(v * 4.0).astype(np.int64)
+    iu2 = np.floor(u * 11.0).astype(np.int64)
+    iv2 = np.floor(v * 11.0).astype(np.int64)
+    g = (
+        30.0
+        + 140.0 * _hash_noise(iu1, iv1, s)
+        + 80.0 * _hash_noise(iu2, iv2, s + 1)
+    )
     return np.clip(g, 0, 255)
 
 

@@ -62,9 +62,10 @@ def rotation_consistency_mask(
     )
     hist = jnp.zeros((HISTO_LENGTH,), jnp.int32).at[bins].add(valid.astype(jnp.int32))
     top3 = jax.lax.top_k(hist, 3)[0]
-    # reference drops bins 2/3 if much weaker than the best (0.1 * max1)
-    thresh = jnp.maximum(top3[2], 1)
-    keep_bin = hist >= jnp.minimum(thresh, jnp.maximum((0.1 * top3[0]).astype(jnp.int32), 1))
+    # keep the top-3 bins, but drop bins 2/3 when weaker than 0.1 * max1
+    # (ORBmatcher::ComputeThreeMaxima)
+    thresh = jnp.maximum(top3[2], jnp.ceil(0.1 * top3[0]).astype(jnp.int32))
+    keep_bin = hist >= jnp.maximum(thresh, 1)
     in_top = keep_bin[bins]
     return valid & in_top
 
@@ -142,7 +143,7 @@ def search_by_projection(
     point_levels: jnp.ndarray | None = None,
     level_tolerance: int = 1,
     max_depth_ratio: tuple[jnp.ndarray, jnp.ndarray] | None = None,
-    view_dirs: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    view_dirs: jnp.ndarray | None = None,
 ) -> dict:
     """Project landmarks into the frame and match within a pixel radius.
 
@@ -161,12 +162,13 @@ def search_by_projection(
         & (uv[:, 1] >= 0) & (uv[:, 1] < h)
     )
     gate = valid_pts & in_img
+    cam_center = -T_cw[:3, :3].T @ T_cw[:3, 3]
     if max_depth_ratio is not None:
         min_d, max_d = max_depth_ratio
-        dist_w = z  # camera-frame depth as distance proxy
+        dist_w = jnp.linalg.norm(pts_w - cam_center[None], axis=-1)
         gate = gate & (dist_w >= min_d) & (dist_w <= max_d)
     if view_dirs is not None:
-        normals, cam_center = view_dirs
+        normals = view_dirs
         po = pts_w - cam_center[None]
         pn = po / jnp.linalg.norm(po, axis=-1, keepdims=True).clip(1e-9)
         gate = gate & (jnp.sum(pn * normals, -1) > 0.5)

@@ -1,0 +1,270 @@
+"""The world model: points, lines, planes, keyframes, covisibility, registries.
+
+Re-expresses Map/KeyFrame/MapPoint/MapLine/MapPlane (reference Map.h,
+KeyFrame.h, MapPoint.h, MapLine.h, MapPlane.h) as capacity-bounded numpy
+arrays with validity masks — the functional-snapshot replacement for the
+reference's mutex-guarded object graph (SURVEY.md section 2.3): tracking
+uploads a fixed-shape "local map" view to the device each frame; map
+mutation happens between frames on the host.
+
+Also holds the Manhattan registries (Map.cc:247-285): hash maps from
+unordered plane-id pairs/triples to the keyframe that first observed them
+mutually perpendicular.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from manhattanslam_tpu.config import SlamConfig
+
+
+class SlamMap:
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        c = cfg.caps
+        n_kp = c.max_keypoints
+
+        # --- map points (MapPoint.h:40-142) ---
+        P = c.max_map_points
+        self.mp_pos = np.zeros((P, 3), np.float32)
+        self.mp_desc = np.zeros((P, 8), np.uint32)
+        self.mp_normal = np.zeros((P, 3), np.float32)
+        self.mp_min_dist = np.zeros(P, np.float32)
+        self.mp_max_dist = np.zeros(P, np.float32)
+        self.mp_level = np.zeros(P, np.int32)  # reference octave at creation
+        self.mp_valid = np.zeros(P, bool)
+        self.mp_n_obs = np.zeros(P, np.int32)
+        self.mp_visible = np.ones(P, np.int32)
+        self.mp_found = np.ones(P, np.int32)
+        self.mp_first_kf = np.full(P, -1, np.int32)
+
+        # --- map lines (MapLine.h) ---
+        L = c.max_map_lines
+        self.ml_sp = np.zeros((L, 3), np.float32)
+        self.ml_ep = np.zeros((L, 3), np.float32)
+        self.ml_desc = np.zeros((L, 32), np.float32)  # float LBD-like descriptor
+        self.ml_valid = np.zeros(L, bool)
+        self.ml_n_obs = np.zeros(L, np.int32)
+        self.ml_visible = np.ones(L, np.int32)
+        self.ml_found = np.ones(L, np.int32)
+        self.ml_first_kf = np.full(L, -1, np.int32)
+
+        # --- map planes (MapPlane.h) ---
+        PL = c.max_map_planes
+        self.pl_coeffs = np.zeros((PL, 4), np.float32)  # world Hesse, w >= 0
+        self.pl_pts = np.zeros((PL, c.max_map_plane_points, 3), np.float32)
+        self.pl_n_pts = np.zeros(PL, np.int32)
+        self.pl_valid = np.zeros(PL, bool)
+        self.pl_n_obs = np.zeros(PL, np.int32)
+        self.pl_first_kf = np.full(PL, -1, np.int32)
+        self.pl_color = np.zeros((PL, 3), np.float32)
+
+        # --- keyframes (KeyFrame.h) ---
+        KF = c.max_keyframes
+        self.kf_pose = np.zeros((KF, 4, 4), np.float32)  # Tcw
+        self.kf_time = np.zeros(KF, np.float64)
+        self.kf_frame_id = np.full(KF, -1, np.int64)
+        self.kf_valid = np.zeros(KF, bool)
+        self.kf_xy = np.zeros((KF, n_kp, 2), np.float32)  # undistorted
+        self.kf_uright = np.zeros((KF, n_kp), np.float32)
+        self.kf_depth = np.zeros((KF, n_kp), np.float32)
+        self.kf_level = np.zeros((KF, n_kp), np.int32)
+        self.kf_angle = np.zeros((KF, n_kp), np.float32)
+        self.kf_desc = np.zeros((KF, n_kp, 8), np.uint32)
+        self.kf_kp_valid = np.zeros((KF, n_kp), bool)
+        self.kf_mp_idx = np.full((KF, n_kp), -1, np.int32)  # kp -> map point
+        self.kf_ml_idx = np.full((KF, c.max_lines), -1, np.int32)
+        self.kf_pl_idx = np.full((KF, c.max_planes_frame), -1, np.int32)
+        self.kf_bow = None  # lazily sized (KF, vocab) float32 for reloc
+
+        # covisibility weight matrix (shared map points, KeyFrame.cc:273)
+        self.covis = np.zeros((KF, KF), np.int32)
+        # spanning tree parent (KeyFrame mTcp chain for trajectory replay)
+        self.kf_parent = np.full(KF, -1, np.int32)
+
+        self.n_kf = 0
+        self.next_mp = 0
+        self.next_ml = 0
+        self.next_pl = 0
+
+        # Manhattan registries: unordered plane-id tuple -> kf id
+        self.manhattan_pairs: dict[tuple, int] = {}
+        self.manhattan_triples: dict[tuple, int] = {}
+        # keyframes pinned by the registries (SetNotErase, Map.cc:253,:273)
+        self.kf_not_erase: set[int] = set()
+
+        self._rng = np.random.default_rng(0)
+
+    # ---------------------------------------------------------------- points
+    def alloc_points(self, n: int) -> np.ndarray:
+        """Allocate n point slots (ring over free slots); returns indices."""
+        free = np.nonzero(~self.mp_valid)[0]
+        if len(free) < n:
+            raise RuntimeError("map point capacity exhausted")
+        return free[:n]
+
+    def add_points(
+        self,
+        pos: np.ndarray,
+        desc: np.ndarray,
+        normal: np.ndarray,
+        min_dist: np.ndarray,
+        max_dist: np.ndarray,
+        level: np.ndarray,
+        kf_id: int,
+    ) -> np.ndarray:
+        idx = self.alloc_points(len(pos))
+        self.mp_pos[idx] = pos
+        self.mp_desc[idx] = desc
+        self.mp_normal[idx] = normal
+        self.mp_min_dist[idx] = min_dist
+        self.mp_max_dist[idx] = max_dist
+        self.mp_level[idx] = level
+        self.mp_valid[idx] = True
+        self.mp_n_obs[idx] = 1
+        self.mp_visible[idx] = 1
+        self.mp_found[idx] = 1
+        self.mp_first_kf[idx] = kf_id
+        return idx
+
+    def erase_points(self, idx: np.ndarray) -> None:
+        self.mp_valid[idx] = False
+        if self.n_kf:
+            mask = np.isin(self.kf_mp_idx[: self.n_kf], idx)
+            self.kf_mp_idx[: self.n_kf][mask] = -1
+
+    # --------------------------------------------------------------- planes
+    def add_plane(self, coeffs: np.ndarray, pts: np.ndarray, kf_id: int) -> int:
+        free = np.nonzero(~self.pl_valid)[0]
+        if len(free) == 0:
+            raise RuntimeError("map plane capacity exhausted")
+        i = int(free[0])
+        self.pl_coeffs[i] = coeffs
+        k = min(len(pts), self.pl_pts.shape[1])
+        self.pl_pts[i, :k] = pts[:k]
+        self.pl_n_pts[i] = k
+        self.pl_valid[i] = True
+        self.pl_n_obs[i] = 1
+        self.pl_first_kf[i] = kf_id
+        self.pl_color[i] = self._rng.uniform(0.2, 1.0, 3)
+        return i
+
+    def merge_plane_points(self, i: int, pts: np.ndarray, voxel: float = 0.2) -> None:
+        """MapPlane::UpdateCoefficientsAndPoints — merge + voxel downsample."""
+        cur = self.pl_pts[i, : self.pl_n_pts[i]]
+        allp = np.concatenate([cur, pts], 0)
+        key = np.floor(allp / voxel).astype(np.int64)
+        _, keep = np.unique(key, axis=0, return_index=True)
+        allp = allp[np.sort(keep)]
+        cap = self.pl_pts.shape[1]
+        if len(allp) > cap:
+            sel = np.linspace(0, len(allp) - 1, cap).astype(int)
+            allp = allp[sel]
+        self.pl_pts[i, : len(allp)] = allp
+        self.pl_n_pts[i] = len(allp)
+
+    # ------------------------------------------------------------ keyframes
+    def add_keyframe(
+        self, T_cw: np.ndarray, timestamp: float, frame_id: int, feats_np: dict
+    ) -> int:
+        if self.n_kf >= self.cfg.caps.max_keyframes:
+            raise RuntimeError("keyframe capacity exhausted")
+        i = self.n_kf
+        self.n_kf += 1
+        self.kf_valid[i] = True
+        self.kf_pose[i] = T_cw
+        self.kf_time[i] = timestamp
+        self.kf_frame_id[i] = frame_id
+        self.kf_xy[i] = feats_np["xy_und"]
+        self.kf_uright[i] = feats_np["u_right"]
+        self.kf_depth[i] = feats_np["depth"]
+        self.kf_level[i] = feats_np["level"]
+        self.kf_angle[i] = feats_np["angle"]
+        self.kf_desc[i] = feats_np["desc"]
+        self.kf_kp_valid[i] = feats_np["valid"]
+        self.kf_parent[i] = i - 1 if i > 0 else -1
+        return i
+
+    def set_kf_matches(self, kf_id: int, mp_idx: np.ndarray) -> None:
+        """Record kp -> map-point association and refresh covisibility."""
+        self.kf_mp_idx[kf_id] = mp_idx
+        obs = mp_idx[mp_idx >= 0]
+        self.mp_n_obs[obs] = np.maximum(self.mp_n_obs[obs], 1)
+        self.update_covisibility(kf_id)
+
+    def update_covisibility(self, kf_id: int) -> None:
+        """Shared-point counts vs all other keyframes (KeyFrame.cc:273)."""
+        mine = self.kf_mp_idx[kf_id]
+        mine = set(mine[mine >= 0].tolist())
+        for j in range(self.n_kf):
+            if j == kf_id or not self.kf_valid[j]:
+                continue
+            other = self.kf_mp_idx[j]
+            w = len(mine.intersection(other[other >= 0].tolist()))
+            self.covis[kf_id, j] = w
+            self.covis[j, kf_id] = w
+
+    def covisible_kfs(self, kf_id: int, min_weight: int = 15) -> np.ndarray:
+        w = self.covis[kf_id, : self.n_kf].copy()
+        w[~self.kf_valid[: self.n_kf]] = 0
+        order = np.argsort(-w)
+        return order[w[order] >= min_weight]
+
+    # --------------------------------------------------- Manhattan registry
+    @staticmethod
+    def _pair_key(a: int, b: int) -> tuple:
+        return tuple(sorted((int(a), int(b))))
+
+    @staticmethod
+    def _triple_key(a: int, b: int, c: int) -> tuple:
+        return tuple(sorted((int(a), int(b), int(c))))
+
+    def add_manhattan_pair(self, p1: int, p2: int, kf_id: int) -> None:
+        key = self._pair_key(p1, p2)
+        if key not in self.manhattan_pairs:
+            self.manhattan_pairs[key] = kf_id
+            self.kf_not_erase.add(kf_id)
+
+    def add_manhattan_triple(self, p1: int, p2: int, p3: int, kf_id: int) -> None:
+        key = self._triple_key(p1, p2, p3)
+        if key not in self.manhattan_triples:
+            self.manhattan_triples[key] = kf_id
+            self.kf_not_erase.add(kf_id)
+
+    def get_manhattan_pair(self, p1: int, p2: int):
+        return self.manhattan_pairs.get(self._pair_key(p1, p2))
+
+    def get_manhattan_triple(self, p1: int, p2: int, p3: int):
+        return self.manhattan_triples.get(self._triple_key(p1, p2, p3))
+
+    # ------------------------------------------------------------ local map
+    def local_map_view(self, anchor_kf_ids: np.ndarray) -> dict:
+        """Fixed-capacity arrays of the points owned by the given keyframes
+        (UpdateLocalPoints, Tracking.cc:1754-1907) for device upload."""
+        cap = self.cfg.caps.max_local_points
+        ids = self.kf_mp_idx[anchor_kf_ids]
+        ids = np.unique(ids[ids >= 0])
+        ids = ids[self.mp_valid[ids]][:cap]
+        n = len(ids)
+        out = {
+            "ids": np.full(cap, -1, np.int32),
+            "pos": np.zeros((cap, 3), np.float32),
+            "desc": np.zeros((cap, 8), np.uint32),
+            "normal": np.zeros((cap, 3), np.float32),
+            "min_dist": np.zeros(cap, np.float32),
+            "max_dist": np.full(cap, 1e9, np.float32),
+            "level": np.zeros(cap, np.int32),
+            "valid": np.zeros(cap, bool),
+        }
+        out["ids"][:n] = ids
+        out["pos"][:n] = self.mp_pos[ids]
+        out["desc"][:n] = self.mp_desc[ids]
+        out["normal"][:n] = self.mp_normal[ids]
+        out["min_dist"][:n] = self.mp_min_dist[ids]
+        out["max_dist"][:n] = self.mp_max_dist[ids]
+        out["level"][:n] = self.mp_level[ids]
+        out["valid"][:n] = True
+        return out

@@ -39,3 +39,30 @@ def synthetic_seq():
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def small_cfg():
+    """Small config for CPU-fast end-to-end tests (192x144, 250 features)."""
+    from manhattanslam_tpu.config import (
+        CameraConfig, CapacityConfig, OrbConfig, SlamConfig,
+    )
+
+    return SlamConfig(
+        camera=CameraConfig(
+            fx=160.0, fy=160.0, cx=95.5, cy=71.5,
+            k1=0, k2=0, p1=0, p2=0, k3=0,
+            width=192, height=144, bf=12.0,
+        ),
+        orb=OrbConfig(n_features=250),
+        caps=CapacityConfig(
+            max_keypoints=256,
+            max_lines=32,
+            max_map_points=8192,
+            max_map_lines=512,
+            max_keyframes=64,
+            max_local_keyframes=16,
+            max_local_points=2048,
+            max_local_lines=128,
+        ),
+    )
