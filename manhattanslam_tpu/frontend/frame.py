@@ -53,6 +53,16 @@ def _extract_level(
     cfg: SlamConfig,
 ) -> dict:
     """Extract n_out oriented+described keypoints from one pyramid level."""
+    h0, w0 = level_img.shape
+    if min(h0, w0) < 2 * orb_ops.EDGE_THRESHOLD + 3:
+        # level too small for the 31x31 patch window — no keypoints
+        return {
+            "xy": jnp.zeros((n_out, 2)),
+            "response": jnp.zeros((n_out,)),
+            "valid": jnp.zeros((n_out,), bool),
+            "angle": jnp.zeros((n_out,)),
+            "desc": jnp.zeros((n_out, 8), jnp.uint32),
+        }
     score = fast_ops.fast_corners(
         level_img, cell=30, ini_th=cfg.orb.ini_th_fast, min_th=cfg.orb.min_th_fast
     )
