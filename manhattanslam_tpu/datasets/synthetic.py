@@ -156,6 +156,29 @@ def orbit_poses(n: int, room: BoxRoom, radius: float = 1.0) -> np.ndarray:
     return np.stack(poses)
 
 
+def corner_poses(n: int, room: BoxRoom, sway: float = 0.15) -> np.ndarray:
+    """n poses looking toward a room corner: floor + two perpendicular walls
+    stay in view the whole time (Manhattan-friendly viewpoint)."""
+    sx, sy, sz = room.size
+    corner = np.array([sx * 0.9, sy * 0.85, sz * 0.9], np.float32)
+    base = np.array([sx * 0.35, sy * 0.4, sz * 0.3], np.float32)
+    poses = []
+    for i in range(n):
+        a = np.sin(2 * np.pi * i / max(n, 1))
+        pos = base + np.array(
+            [sway * a, 0.05 * np.sin(2 * a), 0.1 * a], np.float32
+        )
+        z = corner - pos
+        z = z / np.linalg.norm(z)
+        x = np.cross(np.array([0.0, 1.0, 0.0], np.float32), z)
+        x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = x, y, z, pos
+        poses.append(T)
+    return np.stack(poses)
+
+
 class SyntheticSequence:
     """Iterable RGB-D sequence over a BoxRoom (timestamps at 1/fps)."""
 
@@ -166,12 +189,17 @@ class SyntheticSequence:
         room: BoxRoom | None = None,
         depth_noise: float = 0.0,
         seed: int = 0,
+        view: str = "wall",  # "wall" (orbit_poses) or "corner" (corner_poses)
     ):
         self.cam = cam or CameraConfig(
             fx=525.0, fy=525.0, cx=319.5, cy=239.5, k1=0, k2=0, p1=0, p2=0, k3=0
         )
         self.room = room or BoxRoom()
-        self.poses = orbit_poses(n_frames, self.room)  # ground-truth Twc
+        self.poses = (
+            corner_poses(n_frames, self.room)
+            if view == "corner"
+            else orbit_poses(n_frames, self.room)
+        )  # ground-truth Twc
         self.depth_noise = depth_noise
         self.rng = np.random.default_rng(seed)
         self.fps = 30.0

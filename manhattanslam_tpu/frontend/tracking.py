@@ -80,18 +80,18 @@ class Tracker:
         feats = self.extract(jnp.asarray(gray), jnp.asarray(depth))
 
         if self.state == NOT_INITIALIZED:
-            self._stereo_initialization(timestamp, feats)
+            self._stereo_initialization(timestamp, feats, depth)
             self._record(timestamp, lost=False)
             self._set_last(feats)
             return self.T_cw.copy()
 
-        lost_this_frame = not self._track_frame(timestamp, feats)
+        lost_this_frame = not self._track_frame(timestamp, feats, depth)
         self._record(timestamp, lost=lost_this_frame)
         self._set_last(feats)
         return None if lost_this_frame else self.T_cw.copy()
 
     # ------------------------------------------------------------- tracking
-    def _track_frame(self, timestamp: float, feats: dict) -> bool:
+    def _track_frame(self, timestamp: float, feats: dict, depth: np.ndarray) -> bool:
         cfg = self.cfg
         if self.state == LOST:
             ok = self._relocalize(feats)
@@ -110,24 +110,44 @@ class Tracker:
         out = None
         local_ids = None
 
-        # --- initial pose: motion model against last-frame landmarks ---
+        # --- initial pose: full 6-dof point solve (motion model / ref-KF).
+        # NOTE an intentional re-ordering vs the reference (Tracking.cc:253
+        # runs PlaneMatcher on the velocity-seed pose): we associate planes
+        # at the point-solve pose instead, which tolerates much larger
+        # inter-frame motion for the same 5 cm association gate. ---
         if self.velocity is not None:
             out = self._track_last_frame(feats, T_seed, radius=7.0)
             ok = int(out["n_pt_inliers"]) >= 10
             if not ok:  # widen search (Tracking.cc:1321-1327 retry with 2*th)
                 out = self._track_last_frame(feats, T_seed, radius=14.0)
                 ok = int(out["n_pt_inliers"]) >= 10
-
-        # --- fallback: reference keyframe ---
         if not ok:
             out = self._track_ref_kf(feats, self.last_pose)
             ok = int(out["n_pt_inliers"]) >= 10
-
         if not ok:
             self.state = LOST
             return False
 
         T = np.asarray(out["T"])
+
+        # --- planes: extract, associate at refined pose, detect Manhattan ---
+        if self.plane_module is not None:
+            self.plane_module.process_frame(depth, T)
+            manhattan_R = self.plane_module.manhattan_Rcw
+            # Manhattan decoupled path: rotation from the Manhattan frame,
+            # translation-only re-solve (Tracking.cc:257-275,:846-944)
+            if manhattan_R is not None:
+                T_manh = T.copy()
+                T_manh[:3, :3] = manhattan_R
+                out_t = self._track_last_frame(
+                    feats, T_manh, radius=7.0, translation_only=True
+                )
+                if int(out_t["n_pt_inliers"]) >= 10:
+                    out = out_t
+                    T = np.asarray(out["T"])
+                    self.plane_module.match(T)
+        if self.line_module is not None:
+            self.line_module.process_frame(feats, T)
 
         # --- track local map ---
         out2, local_ids = self._track_local_map(feats, T)
@@ -139,6 +159,11 @@ class Tracker:
 
         self.state = OK
         T = np.asarray(out2["T"])
+
+        # final plane association at the optimized pose (bookkeeping quality:
+        # new-plane flag, keyframe observations, Manhattan registration)
+        if self.plane_module is not None:
+            self.plane_module.match(T)
 
         # velocity model update (Tracking.cc:440-446)
         self.velocity = (T @ np.linalg.inv(self.last_pose)).astype(np.float32)
@@ -174,25 +199,31 @@ class Tracker:
             "level": jnp.asarray(m.mp_level[safe]),
         }
 
-    def _track_last_frame(self, feats, T_seed, radius: float) -> dict:
+    def _track_last_frame(
+        self, feats, T_seed, radius: float, translation_only: bool = False
+    ) -> dict:
         pts = self._pts_view_from_map_ids(self.last_mp_idx)
+        plane_obs, line_obs = self._gather_structural()
         return tracking_ops.track_projection(
             pts, jnp.asarray(T_seed), feats, self.K, self.bf, self.params,
             jnp.float32(radius), self.image_hw,
-            self._empty_planes, self._empty_lines,
+            plane_obs, line_obs,
             scale_factor=self.cfg.orb.scale_factor,
             n_levels=self.cfg.orb.n_levels,
+            translation_only=translation_only,
         )
 
-    def _track_ref_kf(self, feats, T_seed) -> dict:
+    def _track_ref_kf(self, feats, T_seed, translation_only: bool = False) -> dict:
         m = self.map
         kf = self.ref_kf
         ids = m.kf_mp_idx[kf]
         pts = self._pts_view_from_map_ids(ids)
+        plane_obs, line_obs = self._gather_structural()
         return tracking_ops.track_descriptors(
             pts, jnp.asarray(T_seed), feats,
             jnp.asarray(m.kf_angle[kf]), self.K, self.bf, self.params,
-            self._empty_planes, self._empty_lines,
+            plane_obs, line_obs,
+            translation_only=translation_only,
         )
 
     def _local_keyframes(self) -> np.ndarray:
@@ -240,14 +271,26 @@ class Tracker:
         return out, view["ids"]
 
     def _gather_structural(self):
-        """Plane/line observations for the local-map solve (filled in by the
-        plane/line modules when enabled)."""
-        return self._empty_planes, self._empty_lines
+        """Plane/line observations for the pose solves."""
+        planes = (
+            self.plane_module.plane_observations()
+            if self.plane_module is not None
+            else self._empty_planes
+        )
+        lines = (
+            self.line_module.line_observations()
+            if self.line_module is not None
+            else self._empty_lines
+        )
+        return planes, lines
 
     # ------------------------------------------------------ initialization
-    def _stereo_initialization(self, timestamp: float, feats: dict) -> None:
+    def _stereo_initialization(
+        self, timestamp: float, feats: dict, depth: np.ndarray
+    ) -> None:
         """StereoInitialization (Tracking.cc:548-625): first frame becomes a
-        keyframe; every keypoint with depth becomes a map point."""
+        keyframe; every keypoint with depth becomes a map point; frame planes
+        become map planes."""
         self.T_cw = np.eye(4, dtype=np.float32)
         feats_np = {k: np.asarray(v) for k, v in feats.items()}
         kf_id = self.map.add_keyframe(self.T_cw, timestamp, self.frame_id, feats_np)
@@ -256,10 +299,18 @@ class Tracker:
             max_new=10**9, only_close=False,
         )
         self.map.set_kf_matches(kf_id, mp_idx)
+        if self.plane_module is not None:
+            self.plane_module.process_frame(depth, self.T_cw)
+            self.plane_module.on_keyframe(kf_id, self.T_cw)
+        if self.line_module is not None:
+            self.line_module.process_frame(feats, self.T_cw)
+            self.line_module.on_keyframe(kf_id, self.T_cw)
         self.last_mp_idx = mp_idx
         self.ref_kf = kf_id
         self.last_kf_frame_id = self.frame_id
         self.state = OK
+        if self.on_keyframe is not None:
+            self.on_keyframe(kf_id, feats, feats_np)
 
     def _create_points_from_depth(
         self,
@@ -334,7 +385,11 @@ class Tracker:
         c2 = (
             self.n_inliers < ref_matches * th_ref or need_close
         ) and self.n_inliers > 15
-        return (c1a or c1b or c1c) and c2
+        # a new (unassociated) plane forces a keyframe (Tracking.cc:1494)
+        new_plane = (
+            self.plane_module is not None and self.plane_module.new_plane
+        )
+        return ((c1a or c1b or c1c) and c2) or new_plane
 
     def _create_keyframe(self, timestamp: float, feats) -> None:
         feats_np = {k: np.asarray(v) for k, v in feats.items()}
@@ -343,6 +398,10 @@ class Tracker:
             feats, feats_np, kf_id, self.last_mp_idx, max_new=100
         )
         self.map.set_kf_matches(kf_id, mp_idx)
+        if self.plane_module is not None:
+            self.plane_module.on_keyframe(kf_id, self.T_cw)
+        if self.line_module is not None:
+            self.line_module.on_keyframe(kf_id, self.T_cw)
         self.last_mp_idx = mp_idx
         self.ref_kf = kf_id
         self.last_kf_frame_id = self.frame_id

@@ -1,0 +1,294 @@
+"""Plane segmentation on the depth image (PEAC-equivalent).
+
+TPU-native re-expression of the reference's agglomerative hierarchical
+clustering plane detector (include/peac/AHCPlaneFitter.hpp, wrapped at
+half resolution by PlaneExtractor.cpp:44-81):
+
+- depth -> organized camera-frame point cloud at half resolution
+  (2x2 stride, PlaneExtractor.cpp:51-74)                      [device]
+- 10x10-pixel block first/second moments + closed-form smallest
+  eigenpair of the scatter matrix (AHCPlaneSeg.hpp:148-181)   [device]
+- min-MSE agglomerative merging over the ~768-block graph
+  (AHCPlaneFitter.hpp ahCluster :939) — inherently sequential
+  heap over a tiny node set, so it runs on host                [host]
+- pixel-level membership refinement by point-to-plane distance
+  (refineDetails :294 simplified: distance gating)             [device-able]
+
+Merged-segment statistics are sums of block moments, so plane normal and
+MSE update in O(1) per merge.
+"""
+
+from __future__ import annotations
+
+import heapq
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BLOCK = 10  # AHCPlaneFitter windowWidth/Height
+
+
+@partial(jax.jit, static_argnames=("stride",))
+def depth_to_points(depth: jnp.ndarray, K: jnp.ndarray, stride: int = 2):
+    """Organized camera-frame cloud at 1/stride resolution. 0-depth -> nan z."""
+    d = depth[::stride, ::stride]
+    h, w = d.shape
+    ys = (jnp.arange(h, dtype=jnp.float32) * stride - K[1, 2]) / K[1, 1]
+    xs = (jnp.arange(w, dtype=jnp.float32) * stride - K[0, 2]) / K[0, 0]
+    z = jnp.where(d > 0, d, jnp.nan)
+    return jnp.stack([xs[None, :] * z, ys[:, None] * z, z], -1)  # (h, w, 3)
+
+
+@partial(jax.jit, static_argnames=("block",))
+def block_stats(points: jnp.ndarray, block: int = BLOCK) -> dict:
+    """Per-block plane statistics (first/second moments + eig33).
+
+    points: (H, W, 3) with nan for invalid.  Returns dict of
+    (bh*bw,)-shaped arrays: n, mean(3), scatter-sums, normal(3), mse, valid.
+    """
+    H, W, _ = points.shape
+    bh, bw = H // block, W // block
+    p = points[: bh * block, : bw * block]
+    blocks = p.reshape(bh, block, bw, block, 3).transpose(0, 2, 1, 3, 4)
+    blocks = blocks.reshape(bh * bw, block * block, 3)
+    finite = jnp.isfinite(blocks[..., 2])
+    n_valid = jnp.sum(finite, -1)
+    all_valid = n_valid == block * block
+
+    pz = jnp.where(finite[..., None], blocks, 0.0)
+    s1 = jnp.sum(pz, axis=1)  # (B, 3)
+    s2 = jnp.einsum("bni,bnj->bij", pz, pz)  # (B, 3, 3)
+    n = jnp.maximum(n_valid, 1).astype(jnp.float32)
+    mean = s1 / n[:, None]
+    cov = s2 / n[:, None, None] - mean[:, None, :] * mean[:, :, None]
+
+    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    normal = evecs[..., 0]
+    mse = jnp.clip(evals[..., 0], 0.0)
+    # orient towards the camera (point cloud is in front of the camera)
+    flip = jnp.sum(normal * mean, -1) > 0
+    normal = jnp.where(flip[:, None], -normal, normal)
+
+    # depth-continuity: blocks containing an adjacent-pixel depth jump are
+    # not planar seeds (a tilted plane has a smooth gradient; an occlusion
+    # edge has a step).  Jump threshold scales with depth.
+    z_img = points[: bh * block, : bw * block, 2]
+    jump_x = jnp.abs(jnp.diff(z_img, axis=1, prepend=z_img[:, :1]))
+    jump_y = jnp.abs(jnp.diff(z_img, axis=0, prepend=z_img[:1, :]))
+    jump = jnp.maximum(jump_x, jump_y)
+    jump_blocks = (
+        jump.reshape(bh, block, bw, block).transpose(0, 2, 1, 3).reshape(
+            bh * bw, block * block
+        )
+    )
+    max_jump = jnp.nanmax(jump_blocks, axis=1)
+    z_mean = mean[:, 2]
+    depth_ok = max_jump < jnp.maximum(0.06, 0.04 * z_mean)
+
+    return {
+        "n": n_valid,
+        "s1": s1,
+        "s2": s2,
+        "mean": mean,
+        "normal": normal,
+        "mse": mse,
+        "valid": all_valid & depth_ok & jnp.isfinite(mse),
+    }
+
+
+def _seg_plane(n, s1, s2):
+    """Plane from accumulated moments: (normal, d, mse)."""
+    mean = s1 / n
+    cov = s2 / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    normal = evecs[:, 0]
+    if normal @ mean > 0:
+        normal = -normal
+    return normal, -float(normal @ mean), max(float(evals[0]), 0.0)
+
+
+def _mse_threshold(z: float) -> float:
+    """Depth-dependent planarity tolerance (AHCParamSet dynamic T_mse:
+    sensor noise sigma_z ~ 1.6e-6 * z^2 (Kinect model) + a 5-8 mm std
+    tolerance floor)."""
+    sigma = 1.6e-6 * (z * z) * 1e3 + 0.008  # meters
+    return sigma * sigma
+
+
+def merge_blocks(
+    stats: dict, grid_shape: tuple[int, int], min_support: int,
+    angle_cos: float = 0.93,
+) -> np.ndarray:
+    """Agglomerative min-MSE merging of the block graph (host).
+
+    stats: numpy-ified block_stats output.  Returns label (B,) int32:
+    -1 unassigned, else segment id; only segments with >= min_support
+    points survive.
+    """
+    bh, bw = grid_shape
+    B = bh * bw
+    valid = np.asarray(stats["valid"])
+    n = np.asarray(stats["n"]).astype(np.float64)
+    s1 = np.asarray(stats["s1"]).astype(np.float64)
+    s2 = np.asarray(stats["s2"]).astype(np.float64)
+    normal = np.asarray(stats["normal"]).astype(np.float64)
+    mean = np.asarray(stats["mean"]).astype(np.float64)
+
+    parent = np.arange(B)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    # neighbor edges (4-connectivity on the block grid)
+    heap = []
+    for i in range(B):
+        if not valid[i]:
+            continue
+        y, x = divmod(i, bw)
+        for j in (i + 1 if x + 1 < bw else -1, i + bw if y + 1 < bh else -1):
+            if j < 0 or not valid[j]:
+                continue
+            if normal[i] @ normal[j] < angle_cos:
+                continue
+            nm = n[i] + n[j]
+            _, _, mse = _seg_plane(nm, s1[i] + s1[j], s2[i] + s2[j])
+            heapq.heappush(heap, (mse, i, j, int(nm)))
+
+    neighbors: dict[int, set] = {i: set() for i in range(B)}
+    for i in range(B):
+        if not valid[i]:
+            continue
+        y, x = divmod(i, bw)
+        for j in (i - 1 if x else -1, i + 1 if x + 1 < bw else -1,
+                  i - bw if y else -1, i + bw if y + 1 < bh else -1):
+            if j >= 0 and valid[j]:
+                neighbors[i].add(j)
+
+    while heap:
+        mse, a, b, nm = heapq.heappop(heap)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        # lazy heap: recompute the candidate merge at the current roots
+        nm2 = n[ra] + n[rb]
+        nrm, d, mse2 = _seg_plane(nm2, s1[ra] + s1[rb], s2[ra] + s2[rb])
+        zbar = (mean[ra][2] * n[ra] + mean[rb][2] * n[rb]) / nm2
+        if mse2 > _mse_threshold(float(zbar)):
+            continue
+        # merge rb into ra
+        parent[rb] = ra
+        n[ra] = nm2
+        s1[ra] = s1[ra] + s1[rb]
+        s2[ra] = s2[ra] + s2[rb]
+        mean[ra] = s1[ra] / n[ra]
+        normal[ra] = nrm
+        neighbors[ra] = (neighbors[ra] | neighbors[rb]) - {ra, rb}
+        for nb in neighbors[ra]:
+            rn = find(nb)
+            if rn == ra:
+                continue
+            if normal[ra] @ normal[rn] < angle_cos:
+                continue
+            ntot = n[ra] + n[rn]
+            _, _, m = _seg_plane(ntot, s1[ra] + s1[rn], s2[ra] + s2[rn])
+            heapq.heappush(heap, (m, ra, rn, int(ntot)))
+
+    roots = np.array([find(i) if valid[i] else -1 for i in range(B)])
+    labels = np.full(B, -1, np.int32)
+    seg_id = 0
+    for r in np.unique(roots):
+        if r < 0:
+            continue
+        if n[r] >= min_support:
+            labels[roots == r] = seg_id
+            seg_id += 1
+    return labels
+
+
+def extract_planes(
+    depth: np.ndarray,
+    K: np.ndarray,
+    max_planes: int,
+    max_points: int,
+    min_support_frac: float = 0.04,
+    dist_th: float = 0.04,
+    voxel: float = 0.2,
+    stride: int = 2,
+) -> dict:
+    """Full frame-plane extraction (Frame::ExtractPlanes equivalent).
+
+    Returns dict with coeffs (P,4) camera-frame (Plane3D-normalized),
+    cloud (P,max_points,3), n_pts (P,), n_support (P,), valid (P,),
+    membership (h/stride, w/stride) int32 (-1 = no plane) for surfel
+    plane-pixel exclusion.
+    """
+    pts = np.asarray(depth_to_points(jnp.asarray(depth), jnp.asarray(K), stride))
+    h, w, _ = pts.shape
+    stats = block_stats(jnp.asarray(pts))
+    stats_np = {k: np.asarray(v) for k, v in stats.items()}
+    min_support = int(min_support_frac * h * w)
+    bh, bw = h // BLOCK, w // BLOCK
+    labels = merge_blocks(stats_np, (bh, bw), min_support)
+
+    membership = np.full((h, w), -1, np.int32)
+    block_label = labels.reshape(bh, bw)
+    membership[: bh * BLOCK, : bw * BLOCK] = np.repeat(
+        np.repeat(block_label, BLOCK, 0), BLOCK, 1
+    )
+
+    out = {
+        "coeffs": np.zeros((max_planes, 4), np.float32),
+        "cloud": np.zeros((max_planes, max_points, 3), np.float32),
+        "n_pts": np.zeros(max_planes, np.int32),
+        "n_support": np.zeros(max_planes, np.int32),
+        "valid": np.zeros(max_planes, bool),
+        "membership": membership,
+    }
+    n_seg = labels.max() + 1 if labels.size else 0
+    kept = 0
+    finite = np.isfinite(pts[..., 2])
+    for s in range(int(n_seg)):
+        if kept >= max_planes:
+            break
+        mask = (membership == s) & finite
+        pp = pts[mask]
+        if len(pp) < min_support:
+            continue
+        # LS fit + outlier rejection + refit (SAC-refit equivalent,
+        # Frame.cc:662-709 MaxPointDistanceFromPlane)
+        nrm, d, _ = _seg_plane(len(pp), pp.sum(0), pp.T @ pp)
+        dist = np.abs(pp @ nrm + d)
+        inl = dist < dist_th
+        if inl.mean() < 0.8:
+            continue
+        ppi = pp[inl]
+        nrm, d, _ = _seg_plane(len(ppi), ppi.sum(0), ppi.T @ ppi)
+        if np.abs(ppi @ nrm + d).max() > dist_th * 1.5:
+            continue
+        # membership refinement: drop pixels too far from the fit
+        far = mask & (np.abs(pts @ nrm + d) > dist_th)
+        membership[far] = -1
+
+        # voxel downsample (0.2 m, Frame.cc:636-641) with cap
+        key = np.floor(ppi / voxel).astype(np.int64)
+        _, keep_idx = np.unique(key, axis=0, return_index=True)
+        cloud = ppi[np.sort(keep_idx)]
+        if len(cloud) > max_points:
+            sel = np.linspace(0, len(cloud) - 1, max_points).astype(int)
+            cloud = cloud[sel]
+
+        coeffs = np.array([nrm[0], nrm[1], nrm[2], d], np.float32)
+        if coeffs[3] < 0:  # Plane3D::normalize convention (w >= 0)
+            coeffs = -coeffs
+        out["coeffs"][kept] = coeffs
+        out["cloud"][kept, : len(cloud)] = cloud
+        out["n_pts"][kept] = len(cloud)
+        out["n_support"][kept] = len(ppi)
+        out["valid"][kept] = True
+        kept += 1
+    return out

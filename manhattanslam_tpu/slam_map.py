@@ -78,6 +78,10 @@ class SlamMap:
         self.kf_mp_idx = np.full((KF, n_kp), -1, np.int32)  # kp -> map point
         self.kf_ml_idx = np.full((KF, c.max_lines), -1, np.int32)
         self.kf_pl_idx = np.full((KF, c.max_planes_frame), -1, np.int32)
+        # per-KF camera-frame plane observations (for DetectManhattan's
+        # MFm construction, Tracking.cc:731-738)
+        self.kf_plane_coeffs = np.zeros((KF, c.max_planes_frame, 4), np.float32)
+        self.kf_plane_npts = np.zeros((KF, c.max_planes_frame), np.int32)
         self.kf_bow = None  # lazily sized (KF, vocab) float32 for reloc
 
         # covisibility weight matrix (shared map points, KeyFrame.cc:273)

@@ -1,0 +1,93 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from manhattanslam_tpu.ops import planes as plane_ops
+
+
+def make_depth_plane(h=240, w=320, f=160.0, normal=(0, 0, 1.0), d=-3.0):
+    """Depth image of an infinite plane n.x + d = 0 seen by a pinhole cam."""
+    cx, cy = w / 2 - 0.5, h / 2 - 0.5
+    xs = (np.arange(w) - cx) / f
+    ys = (np.arange(h) - cy) / f
+    n = np.asarray(normal, np.float64)
+    # ray r = (x, y, 1) * z; n . r z + d = 0 -> z = -d / (n . r)
+    denom = n[0] * xs[None, :] + n[1] * ys[:, None] + n[2]
+    z = -d / denom
+    z[denom <= 1e-6] = 0
+    return z.astype(np.float32), (f, cx, cy)
+
+
+def K_of(f, cx, cy):
+    return np.array([[f, 0, cx], [0, f, cy], [0, 0, 1]], np.float32)
+
+
+def test_depth_to_points_backprojection():
+    depth, (f, cx, cy) = make_depth_plane()
+    pts = np.asarray(
+        plane_ops.depth_to_points(jnp.asarray(depth), jnp.asarray(K_of(f, cx, cy)))
+    )
+    assert pts.shape == (120, 160, 3)
+    # every valid point lies on the z=3 plane
+    np.testing.assert_allclose(pts[60, 80, 2], 3.0, atol=0.01)
+    valid = np.isfinite(pts[..., 2])
+    np.testing.assert_allclose(pts[valid][:, 2], 3.0, atol=0.01)
+
+
+def test_block_stats_single_plane():
+    depth, (f, cx, cy) = make_depth_plane(normal=(0.0, 0.6, 0.8), d=-2.0)
+    pts = plane_ops.depth_to_points(jnp.asarray(depth), jnp.asarray(K_of(f, cx, cy)))
+    st = plane_ops.block_stats(pts)
+    v = np.asarray(st["valid"])
+    assert v.mean() > 0.8
+    nrm = np.asarray(st["normal"])[v]
+    # all block normals agree with the gt plane normal (up to sign handled
+    # by camera-facing orientation: gt normal (0,.6,.8) faces away)
+    dots = np.abs(nrm @ np.array([0.0, 0.6, 0.8]))
+    assert (dots > 0.999).mean() > 0.95
+    assert np.asarray(st["mse"])[v].max() < 1e-4
+
+
+def test_extract_planes_box_scene(synthetic_seq):
+    t, gray, depth = synthetic_seq.frame(0)
+    cam = synthetic_seq.cam
+    out = plane_ops.extract_planes(
+        depth, K_of(cam.fx, cam.cx, cam.cy), max_planes=8, max_points=256,
+    )
+    n_planes = out["valid"].sum()
+    assert n_planes >= 2  # floor/wall(s) visible in the box room
+    # every plane's cloud satisfies its own equation
+    for i in range(8):
+        if not out["valid"][i]:
+            continue
+        c = out["coeffs"][i]
+        cl = out["cloud"][i, : out["n_pts"][i]]
+        assert np.abs(cl @ c[:3] + c[3]).max() < 0.08
+        assert abs(np.linalg.norm(c[:3]) - 1) < 1e-4
+        assert c[3] >= 0  # Plane3D convention
+    # membership image marks plane pixels
+    assert (out["membership"] >= 0).mean() > 0.3
+
+
+def test_extract_planes_perpendicular_geometry(synthetic_seq):
+    """Walls of the box room must be mutually perpendicular in camera frame."""
+    t, gray, depth = synthetic_seq.frame(0)
+    cam = synthetic_seq.cam
+    out = plane_ops.extract_planes(
+        depth, K_of(cam.fx, cam.cx, cam.cy), max_planes=8, max_points=256,
+    )
+    normals = out["coeffs"][out["valid"]][:, :3]
+    if len(normals) >= 2:
+        # each pair: either near-parallel or near-perpendicular (box geometry)
+        for i in range(len(normals)):
+            for j in range(i + 1, len(normals)):
+                c = abs(float(normals[i] @ normals[j]))
+                assert c > 0.95 or c < 0.1, f"pair ({i},{j}) cos={c:.3f}"
+
+
+def test_no_planes_in_noise(rng):
+    depth = rng.uniform(0.5, 6.0, (240, 320)).astype(np.float32)
+    out = plane_ops.extract_planes(
+        depth, K_of(160.0, 159.5, 119.5), max_planes=8, max_points=128,
+    )
+    assert out["valid"].sum() == 0
