@@ -1,0 +1,237 @@
+"""Mapping back end (reference LocalMapping.cc) — synchronous per keyframe.
+
+The reference runs this as a thread with a keyframe queue
+(LocalMapping.cc:40-101); at TPU frame rates the whole back end fits in
+the keyframe budget, so we run it synchronously when a keyframe is
+inserted (System._on_keyframe):
+
+1. landmark culling (MapPointCulling :227-263: found/visible < 0.25, or
+   <= 2 observations 2 keyframes after creation)
+2. new-point triangulation against the top covisible keyframes
+   (CreateNewMapPoints :303-522) — device-batched per pair
+3. duplicate fusion across 2-hop covisibility (SearchInNeighbors :524-622)
+4. redundant-keyframe culling (KeyFrameCulling :704-758: >= 90% of close
+   points observed by >= 3 other keyframes at same-or-finer scale)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from manhattanslam_tpu.config import SlamConfig
+from manhattanslam_tpu.mapping import triangulation as tri
+from manhattanslam_tpu.slam_map import SlamMap
+
+
+class LocalMapper:
+    def __init__(self, cfg: SlamConfig, slam_map: SlamMap):
+        self.cfg = cfg
+        self.map = slam_map
+        self.K = jnp.asarray(cfg.camera.K)
+        # recently added points pending the culling probation window
+        self.recent_points: list[tuple[int, int]] = []  # (mp_id, birth_kf)
+
+    # ------------------------------------------------------------------ API
+    def process_keyframe(self, kf_id: int) -> None:
+        m = self.map
+        born = m.kf_mp_idx[kf_id]
+        for mp in born[born >= 0]:
+            if m.mp_first_kf[mp] == kf_id:
+                self.recent_points.append((int(mp), kf_id))
+
+        self.cull_map_points(kf_id)
+        self.create_new_points(kf_id)
+        self.fuse_neighbors(kf_id)
+        self.cull_keyframes(kf_id)
+        self.cull_map_planes(kf_id)
+
+    # -------------------------------------------------------------- culling
+    def cull_map_points(self, cur_kf: int) -> None:
+        """MapPointCulling rules (LocalMapping.cc:227-263)."""
+        m = self.map
+        keep: list[tuple[int, int]] = []
+        to_erase = []
+        for mp, born in self.recent_points:
+            if not m.mp_valid[mp]:
+                continue
+            ratio = m.mp_found[mp] / max(m.mp_visible[mp], 1)
+            n_obs = int((m.kf_mp_idx[: m.n_kf] == mp).sum())
+            if ratio < 0.25:
+                to_erase.append(mp)
+            elif cur_kf - born >= 2 and n_obs <= 2:
+                to_erase.append(mp)
+            elif cur_kf - born >= 3:
+                pass  # graduated
+            else:
+                keep.append((mp, born))
+        self.recent_points = keep
+        if to_erase:
+            m.erase_points(np.array(to_erase))
+
+    def cull_map_planes(self, cur_kf: int) -> None:
+        """MapPlaneCulling: planes with <3 observations 2 KFs after birth."""
+        m = self.map
+        for pl in np.nonzero(m.pl_valid)[0]:
+            born = m.pl_first_kf[pl]
+            if cur_kf - born >= 2 and m.pl_n_obs[pl] < 3:
+                n_kf_obs = int((m.kf_pl_idx[: m.n_kf] == pl).sum())
+                if n_kf_obs < 2:
+                    m.pl_valid[pl] = False
+                    m.kf_pl_idx[m.kf_pl_idx == pl] = -1
+
+    # -------------------------------------------------------- triangulation
+    def _kf_kp_view(self, kf: int, only_free: bool) -> dict:
+        m = self.map
+        valid = m.kf_kp_valid[kf].copy()
+        if only_free:
+            valid &= m.kf_mp_idx[kf] < 0
+        return {
+            "xy": jnp.asarray(m.kf_xy[kf]),
+            "desc": jnp.asarray(m.kf_desc[kf]),
+            "valid": jnp.asarray(valid),
+            "level": jnp.asarray(m.kf_level[kf]),
+            "depth": jnp.asarray(m.kf_depth[kf]),
+            "inv_sigma2": jnp.asarray(
+                (1.0 / self.cfg.orb.scale_factor ** (2.0 * m.kf_level[kf])).astype(
+                    np.float32
+                )
+            ),
+        }
+
+    def create_new_points(self, kf_id: int, n_neighbors: int = 10) -> None:
+        """Triangulate new far points against top covisible keyframes."""
+        m = self.map
+        neighbors = m.covisible_kfs(kf_id)[:n_neighbors]
+        if len(neighbors) == 0:
+            return
+        kp1 = self._kf_kp_view(kf_id, only_free=True)
+        T1 = jnp.asarray(m.kf_pose[kf_id])
+        claimed = np.asarray(kp1["valid"]).copy()
+        for nb in neighbors:
+            # baseline check (LocalMapping.cc:354-372): skip tiny baselines
+            baseline = np.linalg.norm(
+                m.kf_pose[kf_id][:3, 3] - m.kf_pose[nb][:3, 3]
+            )
+            if baseline < self.cfg.camera.baseline:
+                continue
+            kp2 = self._kf_kp_view(int(nb), only_free=True)
+            out = tri.triangulate_pair(
+                {**kp1, "valid": jnp.asarray(claimed)}, kp2,
+                T1, jnp.asarray(m.kf_pose[nb]),
+                self.K, jnp.float32(self.cfg.orb.scale_factor),
+            )
+            ok = np.asarray(out["ok"])
+            if not ok.any():
+                continue
+            pos = np.asarray(out["pos_w"])[ok]
+            idx1 = np.nonzero(ok)[0]
+            idx2 = np.asarray(out["idx2"])[ok]
+            free = (~m.mp_valid).sum()
+            n_new = min(len(idx1), int(free))
+            if n_new == 0:
+                break
+            idx1, idx2, pos = idx1[:n_new], idx2[:n_new], pos[:n_new]
+            cam_center = -m.kf_pose[kf_id][:3, :3].T @ m.kf_pose[kf_id][:3, 3]
+            dvec = pos - cam_center
+            dist = np.linalg.norm(dvec, axis=1).clip(1e-6)
+            normal = dvec / dist[:, None]
+            lvl = m.kf_level[kf_id][idx1]
+            sf = self.cfg.orb.scale_factor
+            max_d = dist * sf**lvl
+            min_d = max_d / sf ** (self.cfg.orb.n_levels - 1)
+            ids = m.add_points(
+                pos, m.kf_desc[kf_id][idx1], normal, min_d, max_d, lvl, kf_id
+            )
+            m.kf_mp_idx[kf_id, idx1] = ids
+            m.kf_mp_idx[nb, idx2] = ids
+            for mp in ids:
+                self.recent_points.append((int(mp), kf_id))
+            claimed[idx1] = False  # now matched; not free anymore
+        m.update_covisibility(kf_id)
+
+    # ------------------------------------------------------------- fusion
+    def fuse_neighbors(self, kf_id: int, n_neighbors: int = 10) -> None:
+        """SearchInNeighbors: project this KF's points into covisible KFs,
+        merge duplicates / add missing observations."""
+        m = self.map
+        neighbors = m.covisible_kfs(kf_id)[:n_neighbors]
+        my_ids = m.kf_mp_idx[kf_id]
+        my_ids = np.unique(my_ids[my_ids >= 0])
+        if len(my_ids) == 0 or len(neighbors) == 0:
+            return
+        cap = self.cfg.caps.max_local_points
+        my_ids = my_ids[:cap]
+        pos = jnp.asarray(m.mp_pos[my_ids])
+        desc = jnp.asarray(m.mp_desc[my_ids])
+        valid = jnp.asarray(m.mp_valid[my_ids])
+        for nb in neighbors:
+            feats = {
+                "xy": jnp.asarray(m.kf_xy[nb]),
+                "desc": jnp.asarray(m.kf_desc[nb]),
+                "valid": jnp.asarray(m.kf_kp_valid[nb]),
+                "level": jnp.asarray(m.kf_level[nb]),
+            }
+            out = tri.fuse_candidates(
+                pos, desc, valid, jnp.asarray(m.kf_pose[nb]), feats, self.K,
+                jnp.float32(self.cfg.camera.height),
+                jnp.float32(self.cfg.camera.width),
+            )
+            ok = np.asarray(out["ok"])
+            kp_idx = np.asarray(out["kp_idx"])
+            for i in np.nonzero(ok)[0]:
+                mp = int(my_ids[i])
+                kp = int(kp_idx[i])
+                existing = int(m.kf_mp_idx[nb, kp])
+                if existing < 0:
+                    m.kf_mp_idx[nb, kp] = mp  # new observation
+                elif existing != mp and m.mp_valid[existing]:
+                    # duplicate: keep the landmark with more observations
+                    n_mp = int((m.kf_mp_idx[: m.n_kf] == mp).sum())
+                    n_ex = int((m.kf_mp_idx[: m.n_kf] == existing).sum())
+                    lose, win = (mp, existing) if n_ex >= n_mp else (existing, mp)
+                    m.kf_mp_idx[: m.n_kf][m.kf_mp_idx[: m.n_kf] == lose] = win
+                    m.mp_valid[lose] = False
+        m.update_covisibility(kf_id)
+
+    # --------------------------------------------------------- KF culling
+    def cull_keyframes(self, kf_id: int) -> None:
+        """KeyFrameCulling (LocalMapping.cc:704-758)."""
+        m = self.map
+        close_th = self.cfg.th_depth_m
+        for kf in m.covisible_kfs(kf_id)[:20]:
+            kf = int(kf)
+            if kf == 0 or kf in m.kf_not_erase or not m.kf_valid[kf]:
+                continue
+            ids = m.kf_mp_idx[kf]
+            kp_sel = (ids >= 0) & m.mp_valid[np.maximum(ids, 0)]
+            depth = m.kf_depth[kf]
+            kp_sel &= (depth > 0) & (depth < close_th)
+            total = int(kp_sel.sum())
+            if total < 30:
+                continue
+            redundant = 0
+            my_lvl = m.kf_level[kf]
+            for kp in np.nonzero(kp_sel)[0]:
+                mp = ids[kp]
+                obs_kfs, obs_kps = np.nonzero(m.kf_mp_idx[: m.n_kf] == mp)
+                n_better = 0
+                for okf, okp in zip(obs_kfs, obs_kps):
+                    if okf == kf or not m.kf_valid[okf]:
+                        continue
+                    if m.kf_level[okf, okp] <= my_lvl[kp] + 1:
+                        n_better += 1
+                if n_better >= 3:
+                    redundant += 1
+            if redundant > 0.9 * total:
+                self._erase_keyframe(kf)
+
+    def _erase_keyframe(self, kf: int) -> None:
+        m = self.map
+        m.kf_valid[kf] = False
+        m.kf_mp_idx[kf] = -1
+        m.covis[kf, :] = 0
+        m.covis[:, kf] = 0
+        # spanning-tree reattachment: children point to this KF's parent
+        parent = m.kf_parent[kf]
+        m.kf_parent[m.kf_parent == kf] = parent
