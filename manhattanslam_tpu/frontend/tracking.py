@@ -80,18 +80,20 @@ class Tracker:
         feats = self.extract(jnp.asarray(gray), jnp.asarray(depth))
 
         if self.state == NOT_INITIALIZED:
-            self._stereo_initialization(timestamp, feats, depth)
+            self._stereo_initialization(timestamp, feats, gray, depth)
             self._record(timestamp, lost=False)
             self._set_last(feats)
             return self.T_cw.copy()
 
-        lost_this_frame = not self._track_frame(timestamp, feats, depth)
+        lost_this_frame = not self._track_frame(timestamp, feats, gray, depth)
         self._record(timestamp, lost=lost_this_frame)
         self._set_last(feats)
         return None if lost_this_frame else self.T_cw.copy()
 
     # ------------------------------------------------------------- tracking
-    def _track_frame(self, timestamp: float, feats: dict, depth: np.ndarray) -> bool:
+    def _track_frame(
+        self, timestamp: float, feats: dict, gray: np.ndarray, depth: np.ndarray
+    ) -> bool:
         cfg = self.cfg
         if self.state == LOST:
             ok = self._relocalize(feats)
@@ -147,7 +149,7 @@ class Tracker:
                     T = np.asarray(out["T"])
                     self.plane_module.match(T)
         if self.line_module is not None:
-            self.line_module.process_frame(feats, T)
+            self.line_module.process_frame(gray, depth, T)
 
         # --- track local map ---
         out2, local_ids = self._track_local_map(feats, T)
@@ -286,7 +288,7 @@ class Tracker:
 
     # ------------------------------------------------------ initialization
     def _stereo_initialization(
-        self, timestamp: float, feats: dict, depth: np.ndarray
+        self, timestamp: float, feats: dict, gray: np.ndarray, depth: np.ndarray
     ) -> None:
         """StereoInitialization (Tracking.cc:548-625): first frame becomes a
         keyframe; every keypoint with depth becomes a map point; frame planes
@@ -303,7 +305,7 @@ class Tracker:
             self.plane_module.process_frame(depth, self.T_cw)
             self.plane_module.on_keyframe(kf_id, self.T_cw)
         if self.line_module is not None:
-            self.line_module.process_frame(feats, self.T_cw)
+            self.line_module.process_frame(gray, depth, self.T_cw)
             self.line_module.on_keyframe(kf_id, self.T_cw)
         self.last_mp_idx = mp_idx
         self.ref_kf = kf_id

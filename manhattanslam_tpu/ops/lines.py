@@ -1,0 +1,278 @@
+"""Line features: detection, description, and 3D lifting — TPU-native.
+
+Replaces the reference's OpenCV LSD + LBD stack (LSDextractor.cpp:17-45)
+and the 3D line lifter (3DLineExtractor.cpp):
+
+- detection: the LSD region-grower is inherently sequential, so we use a
+  dense **Hough transform** instead — votes are a scatter-add over
+  (angle, rho) bins, peak extraction is top-K, and segment extents come
+  from masked projections of supporting edge pixels.  Functionally
+  equivalent "top-40 straight segments by support" (the reference keeps
+  the top 40 by response, LSDextractor.cpp:23-31).
+- description: an LBD-like band descriptor built from gradient statistics
+  in bands parallel to the segment — float-valued, matched by dot product
+  on the MXU (the reference's binary LBD + Hamming BFMatcher,
+  LSDmatcher.cpp:201-234, is replaced by cosine distance with the same
+  NN-ratio gating).
+- 3D lifting: sample up to S points along the segment, per-point depth
+  noise sigma(z) = c*z^2 (3DLineExtractor.cpp:62-73), 2-point RANSAC under
+  sigma-normalized point-line distance (:118-206, threshold 1.5, 10
+  hypotheses), least-squares refit, endpoint recovery by projection.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from manhattanslam_tpu.ops.image import sobel
+
+N_ANGLES = 120
+RHO_BIN = 2.0  # pixels per rho bin
+MIN_SEG_LEN = 20.0  # pixels
+DESC_BANDS = 7
+DESC_DIM = 4 * DESC_BANDS
+
+
+@partial(jax.jit, static_argnames=("n_lines",))
+def detect_lines(gray: jnp.ndarray, n_lines: int = 64) -> dict:
+    """Hough-based segment detector.
+
+    Returns dict: sp (L,2), ep (L,2) endpoints (x,y), response (L,),
+    valid (L,), eq (L,3) normalized homogeneous line equation
+    (sp x ep / |.|, LSDextractor.cpp:35-44 convention).
+    """
+    h, w = gray.shape
+    gx, gy = sobel(gray)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    # quantile threshold adapts from smooth scenes to dense texture
+    th = jnp.maximum(jnp.quantile(mag, 0.90), 40.0)
+    edge = mag > th
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+
+    # edge-pixel gradient orientation (normal of a potential line)
+    gangle = jnp.arctan2(gy, gx)  # [-pi, pi], line normal direction
+
+    angles = jnp.linspace(0.0, jnp.pi, N_ANGLES, endpoint=False)
+    diag = float(np.hypot(h, w))
+    n_rho = int(2 * diag / RHO_BIN) + 2
+
+    # vote only into the angle bin matching the pixel's gradient direction
+    # (classic gradient-guided Hough: 1 vote per edge pixel, not N_ANGLES)
+    ga = jnp.mod(gangle, jnp.pi)
+    abin = jnp.clip((ga / jnp.pi * N_ANGLES).astype(jnp.int32), 0, N_ANGLES - 1)
+    ca = jnp.cos(angles)[abin]
+    sa = jnp.sin(angles)[abin]
+    rho = xs * ca + ys * sa
+    rbin = jnp.clip(((rho + diag) / RHO_BIN).astype(jnp.int32), 0, n_rho - 1)
+    flat_bin = abin * n_rho + rbin
+    votes = jnp.zeros((N_ANGLES * n_rho,), jnp.float32).at[
+        flat_bin.ravel()
+    ].add(edge.ravel().astype(jnp.float32))
+    votes = votes.reshape(N_ANGLES, n_rho)
+
+    # accumulate split votes from gradient noise (3x3 box sum), then NMS
+    vpad = jnp.pad(votes, 1)
+    neigh = jnp.stack(
+        [vpad[i : i + N_ANGLES, j : j + n_rho] for i in range(3) for j in range(3)]
+    )
+    v = jnp.sum(neigh, axis=0)
+    vpad2 = jnp.pad(v, 2)
+    neigh2 = jnp.stack(
+        [vpad2[i : i + N_ANGLES, j : j + n_rho] for i in range(5) for j in range(5)]
+    )
+    is_max = v >= jnp.max(neigh2, axis=0)
+    v_nms = jnp.where(is_max, v, 0.0)
+
+    top_v, top_i = jax.lax.top_k(v_nms.ravel(), n_lines)
+    top_a = top_i // n_rho
+    top_r = top_i % n_rho
+    line_ca = jnp.cos(angles)[top_a]
+    line_sa = jnp.sin(angles)[top_a]
+    line_rho = top_r.astype(jnp.float32) * RHO_BIN - diag + RHO_BIN * 0.5
+
+    # segment extent: project supporting pixels onto the line direction
+    # support = edge pixels within 2 px of the line with matching angle bin
+    d_all = (
+        xs[None] * line_ca[:, None, None]
+        + ys[None] * line_sa[:, None, None]
+        - line_rho[:, None, None]
+    )  # (L, h, w) distance to line
+    ang_match = (
+        jnp.abs(((ga[None] - angles[top_a][:, None, None]) + jnp.pi / 2)
+                % jnp.pi - jnp.pi / 2)
+        < (4.0 * jnp.pi / N_ANGLES)
+    )
+    support = edge[None] & (jnp.abs(d_all) < 2.5) & ang_match  # (L, h, w)
+    # least-squares refit on supporting pixels (removes angle/rho
+    # quantization drift): weighted 2x2 covariance -> principal direction
+    wgt = support.astype(jnp.float32) * mag[None]
+    wsum = jnp.sum(wgt, axis=(1, 2)).clip(1e-6)
+    mx = jnp.sum(wgt * xs[None], axis=(1, 2)) / wsum
+    my = jnp.sum(wgt * ys[None], axis=(1, 2)) / wsum
+    dxs = xs[None] - mx[:, None, None]
+    dys = ys[None] - my[:, None, None]
+    cxx = jnp.sum(wgt * dxs * dxs, axis=(1, 2)) / wsum
+    cxy = jnp.sum(wgt * dxs * dys, axis=(1, 2)) / wsum
+    cyy = jnp.sum(wgt * dys * dys, axis=(1, 2)) / wsum
+    # principal eigenvector of [[cxx,cxy],[cxy,cyy]] (largest eigenvalue)
+    tr = cxx + cyy
+    det = cxx * cyy - cxy * cxy
+    lam = 0.5 * tr + jnp.sqrt(jnp.clip(0.25 * tr * tr - det, 0.0))
+    ex = jnp.where(jnp.abs(cxy) > 1e-9, lam - cyy, 1.0)
+    ey = jnp.where(jnp.abs(cxy) > 1e-9, cxy, 0.0)
+    # degenerate fallback: axis-aligned
+    ex = jnp.where((jnp.abs(cxy) <= 1e-9) & (cyy > cxx), 0.0, ex)
+    ey = jnp.where((jnp.abs(cxy) <= 1e-9) & (cyy > cxx), 1.0, ey)
+    en = jnp.sqrt(ex * ex + ey * ey).clip(1e-9)
+    dirx, diry = ex / en, ey / en  # refit line direction
+    # refit normal/rho replace the quantized Hough parameters
+    line_ca = -diry
+    line_sa = dirx
+    line_rho = mx * line_ca + my * line_sa
+
+    # projection parameter along the refit direction
+    t = xs[None] * dirx[:, None, None] + ys[None] * diry[:, None, None]
+    big = 1e9
+    tmin = jnp.min(jnp.where(support, t, big), axis=(1, 2))
+    tmax = jnp.max(jnp.where(support, t, -big), axis=(1, 2))
+    n_support = jnp.sum(support, axis=(1, 2))
+
+    length = tmax - tmin
+    density = n_support / jnp.maximum(length, 1.0)
+    valid = (
+        (top_v > 0)
+        & (n_support >= MIN_SEG_LEN)
+        & (length >= MIN_SEG_LEN)
+        & (length < diag)
+        & (density > 0.35)
+    )
+
+    # endpoints: foot of the line at tmin / tmax along the refit direction
+    px = line_ca * line_rho
+    py = line_sa * line_rho
+    sp = jnp.stack([px + tmin * dirx, py + tmin * diry], -1)
+    ep = jnp.stack([px + tmax * dirx, py + tmax * diry], -1)
+
+    sph = jnp.concatenate([sp, jnp.ones((n_lines, 1))], -1)
+    eph = jnp.concatenate([ep, jnp.ones((n_lines, 1))], -1)
+    eq = jnp.cross(sph, eph)
+    eq = eq / jnp.linalg.norm(eq, axis=-1, keepdims=True).clip(1e-9)
+
+    return {
+        "sp": sp, "ep": ep, "eq": eq,
+        "response": n_support.astype(jnp.float32),
+        "valid": valid,
+        "angle": jnp.arctan2(ep[:, 1] - sp[:, 1], ep[:, 0] - sp[:, 0]),
+    }
+
+
+@jax.jit
+def line_descriptors(gray: jnp.ndarray, sp: jnp.ndarray, ep: jnp.ndarray):
+    """LBD-like band descriptor: gradient stats in 7 bands parallel to the
+    segment, sampled at 24 points along it.  (L, 28) float32, L2-normalized.
+    """
+    S = 24
+    gx, gy = sobel(gray)
+    h, w = gray.shape
+    d = ep - sp
+    length = jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-6)
+    u = d / length  # along
+    n = jnp.stack([-u[:, 1], u[:, 0]], -1)  # normal
+    ts = jnp.linspace(0.05, 0.95, S)
+    bands = jnp.arange(DESC_BANDS, dtype=jnp.float32) - (DESC_BANDS - 1) / 2
+
+    # sample positions: (L, S, B, 2)
+    base = sp[:, None, :] + ts[None, :, None] * d[:, None, :]
+    pos = base[:, :, None, :] + bands[None, None, :, None] * 2.0 * n[:, None, None, :]
+    xi = jnp.clip(jnp.round(pos[..., 0]), 0, w - 1).astype(jnp.int32)
+    yi = jnp.clip(jnp.round(pos[..., 1]), 0, h - 1).astype(jnp.int32)
+    sgx = gx[yi, xi]
+    sgy = gy[yi, xi]
+    # gradient components along/perpendicular to the line
+    g_par = sgx * u[:, None, None, 0] + sgy * u[:, None, None, 1]
+    g_per = sgx * n[:, None, None, 0] + sgy * n[:, None, None, 1]
+    feats = jnp.concatenate(
+        [
+            jnp.mean(g_par, axis=1), jnp.std(g_par, axis=1),
+            jnp.mean(g_per, axis=1), jnp.std(g_per, axis=1),
+        ],
+        -1,
+    )  # (L, 4*B)
+    return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True).clip(1e-6)
+
+
+@partial(jax.jit, static_argnames=("n_samples", "n_hyp"))
+def lift_lines_3d(
+    depth: jnp.ndarray,
+    K: jnp.ndarray,
+    sp: jnp.ndarray,
+    ep: jnp.ndarray,
+    valid: jnp.ndarray,
+    n_samples: int = 64,
+    n_hyp: int = 10,
+) -> dict:
+    """Lift 2D segments to 3D camera-frame segments from depth samples.
+
+    RANSAC over 2-point hypotheses under depth-noise-normalized point-line
+    distance (3DLineExtractor.cpp:118-206: threshold 1.5 sigma, <=10
+    hypotheses), then endpoints from inlier projections onto the best line.
+    Returns sp3 (L,3), ep3 (L,3), ok (L,).
+    """
+    h, w = depth.shape
+    L = sp.shape[0]
+    ts = jnp.linspace(0.0, 1.0, n_samples)
+    pos = sp[:, None, :] + ts[None, :, None] * (ep - sp)[:, None, :]  # (L,S,2)
+    xi = jnp.clip(jnp.round(pos[..., 0]), 0, w - 1).astype(jnp.int32)
+    yi = jnp.clip(jnp.round(pos[..., 1]), 0, h - 1).astype(jnp.int32)
+    z = depth[yi, xi]  # (L, S)
+    good = z > 0
+    x3 = (pos[..., 0] - K[0, 2]) / K[0, 0] * z
+    y3 = (pos[..., 1] - K[1, 2]) / K[1, 1] * z
+    pts = jnp.stack([x3, y3, z], -1)  # (L, S, 3)
+    sigma = 1.425e-3 * z * z + 1e-3  # Kinect-like depth noise model
+
+    # hypotheses: pairs spread along the segment
+    i0 = jnp.linspace(0, n_samples // 2 - 1, n_hyp).astype(jnp.int32)
+    i1 = jnp.linspace(n_samples // 2, n_samples - 1, n_hyp).astype(jnp.int32)
+    a = pts[:, i0, :]  # (L, H, 3)
+    b = pts[:, i1, :]
+    ab = b - a
+    ab_n = ab / jnp.linalg.norm(ab, axis=-1, keepdims=True).clip(1e-9)
+    hyp_ok = good[:, i0] & good[:, i1]
+
+    # point-line distances: (L, H, S)
+    ap = pts[:, None, :, :] - a[:, :, None, :]
+    cross = jnp.cross(ap, ab_n[:, :, None, :])
+    dist = jnp.linalg.norm(cross, axis=-1)
+    norm_dist = dist / sigma[:, None, :]
+    inl = (norm_dist < 1.5) & good[:, None, :] & hyp_ok[:, :, None]
+    n_inl = jnp.sum(inl, -1)  # (L, H)
+    best = jnp.argmax(n_inl, -1)  # (L,)
+    bi = jnp.arange(L)
+    best_inl = inl[bi, best]  # (L, S)
+    best_n = n_inl[bi, best]
+
+    # refit: principal direction of inliers
+    wgt = best_inl.astype(jnp.float32)
+    nw = jnp.sum(wgt, -1, keepdims=True).clip(1.0)
+    mean = jnp.sum(pts * wgt[..., None], 1) / nw
+    cen = (pts - mean[:, None, :]) * wgt[..., None]
+    cov = jnp.einsum("lsi,lsj->lij", cen, cen) / nw[..., None]
+    evals, evecs = jnp.linalg.eigh(cov)
+    direction = evecs[..., 2]  # largest eigenvector
+
+    t_proj = jnp.sum((pts - mean[:, None, :]) * direction[:, None, :], -1)
+    t_proj = jnp.where(best_inl, t_proj, 0.0)
+    t0 = jnp.min(jnp.where(best_inl, t_proj, 1e9), -1)
+    t1 = jnp.max(jnp.where(best_inl, t_proj, -1e9), -1)
+    sp3 = mean + t0[:, None] * direction
+    ep3 = mean + t1[:, None] * direction
+
+    ok = valid & (best_n >= n_samples // 3) & ((t1 - t0) > 0.05)
+    return {"sp3": sp3, "ep3": ep3, "ok": ok, "n_inliers": best_n}
