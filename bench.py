@@ -32,7 +32,7 @@ def main() -> int:
     seq = SyntheticSequence(n_frames=n_render, cam=cfg.camera)
     frames = [seq.frame(i) for i in range(n_render)]
 
-    slam = System(cfg)
+    slam = System(cfg, fast=True, pipeline=True)
     # warm-up: first frames trigger XLA compiles
     for i in range(3):
         t, gray, depth = frames[i]

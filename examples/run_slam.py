@@ -34,6 +34,10 @@ def main() -> int:
     ap.add_argument("--no-planes", action="store_true")
     ap.add_argument("--no-lines", action="store_true")
     ap.add_argument("--no-surfels", action="store_true")
+    ap.add_argument(
+        "--modular", action="store_true",
+        help="use the modular per-stage tracker instead of the fused fast path",
+    )
     ap.add_argument("--out-prefix", default="")
     args = ap.parse_args()
 
@@ -80,6 +84,7 @@ def main() -> int:
         enable_planes=not args.no_planes,
         enable_lines=not args.no_lines,
         enable_surfels=not args.no_surfels,
+        fast=not args.modular,
     )
 
     print(f"Tracking {n_frames} frames ({cfg.camera.width}x{cfg.camera.height}) ...")

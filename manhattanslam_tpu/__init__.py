@@ -23,4 +23,19 @@ import jax as _jax
 # (ops/matching.py) — that is the only matmul where we want the fast path.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the fused tracking step is a large XLA
+# program (minutes to compile on remote-compile backends); cache hits load
+# in seconds.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "MSLAM_JAX_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 from manhattanslam_tpu.config import SlamConfig, load_config  # noqa: F401

@@ -1,0 +1,500 @@
+"""The fused per-frame device program ("device computes all candidate
+solves and picks", SURVEY.md section 7 hard-part 6).
+
+On this hardware a host<->device roundtrip costs ~40 ms while the whole
+per-frame compute costs ~2 ms, so the frame loop is ONE jitted program:
+
+  extract ORB -> extract planes (device AHC) -> detect/lift lines
+    -> plane association vs the device map view
+    -> Manhattan detection against the device-resident registry
+    -> candidate solves: projection (r=7), projection (r=15),
+       descriptor fallback vs ref KF, Manhattan translation-only
+    -> device-side selection of the winning pose
+    -> final full solve with point+line+plane residuals
+    -> packed summary (single host pull)
+
+The map view (all landmarks + plane/line banks + Manhattan registries +
+keyframe plane observations) lives on device and is refreshed only at
+keyframe events.  Matching runs against the WHOLE landmark bank — at
+reference budgets that is a sub-millisecond bf16 matmul on the MXU, so the
+reference's local-map bookkeeping (Tracking.cc:1754-1907) is not needed for
+speed; the projection/scale/viewing-angle gates provide the same locality.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from manhattanslam_tpu.config import SlamConfig
+from manhattanslam_tpu.frontend import tracking_ops
+from manhattanslam_tpu.frontend.frame import build_extractor
+from manhattanslam_tpu.ops import lines as line_ops
+from manhattanslam_tpu.ops import lm, matching
+from manhattanslam_tpu.ops import planes as plane_ops
+
+
+# ---------------------------------------------------------------- map view
+def build_map_view(cfg: SlamConfig, slam_map, reg2=None, reg3=None) -> dict:
+    """Upload the tracking-relevant map state as one device pytree."""
+    m = slam_map
+    c = cfg.caps
+    view = {
+        # landmarks (identity mapping: view index == map point id)
+        "mp_pos": m.mp_pos,
+        "mp_desc": m.mp_desc,
+        "mp_valid": m.mp_valid,
+        "mp_normal": m.mp_normal,
+        "mp_min": m.mp_min_dist,
+        "mp_max": np.maximum(m.mp_max_dist, 1e-6),
+        "mp_level": m.mp_level,
+        # planes
+        "pl_coeffs": m.pl_coeffs,
+        "pl_pts": m.pl_pts,
+        "pl_npts": m.pl_n_pts,
+        "pl_valid": m.pl_valid,
+        # lines
+        "ml_sp": m.ml_sp,
+        "ml_ep": m.ml_ep,
+        "ml_desc": m.ml_desc[:, : line_ops.DESC_DIM],
+        "ml_valid": m.ml_valid,
+        # keyframe plane observations + poses (for Manhattan MFm)
+        "kf_pl_idx": m.kf_pl_idx,
+        "kf_plane_coeffs": m.kf_plane_coeffs,
+        "kf_plane_npts": m.kf_plane_npts,
+        "kf_pose": m.kf_pose,
+        # ref-KF landmark view (descriptor fallback tracker)
+        "ref_desc": m.kf_desc[0] * 0,  # placeholder, set below
+        "ref_angle": m.kf_angle[0] * 0.0,
+        "ref_mp": np.full(c.max_keypoints, -1, np.int32),
+        # Manhattan registries as dense id matrices
+        "reg2": reg2 if reg2 is not None else np.full(
+            (c.max_map_planes, c.max_map_planes), -1, np.int32
+        ),
+        "reg3": reg3 if reg3 is not None else np.full(
+            (c.max_map_planes,) * 3, -1, np.int32
+        ),
+    }
+    return jax.device_put(view)
+
+
+def set_ref_kf(view: dict, slam_map, ref_kf: int) -> dict:
+    m = slam_map
+    view = dict(view)
+    upd = jax.device_put(
+        {
+            "ref_desc": m.kf_desc[ref_kf],
+            "ref_angle": m.kf_angle[ref_kf],
+            "ref_mp": m.kf_mp_idx[ref_kf],
+        }
+    )
+    view.update(upd)
+    return view
+
+
+# ----------------------------------------------------- device manhattan
+def detect_manhattan_device(
+    fp_coeffs: jnp.ndarray,  # (P,4) camera-frame
+    fp_support: jnp.ndarray,  # (P,)
+    fp_valid: jnp.ndarray,
+    assoc: jnp.ndarray,  # (P,) map plane ids or -1
+    view: dict,
+    mf_ver_th: jnp.ndarray,
+):
+    """Vectorized Tracking::DetectManhattan (Tracking.cc:651-844)."""
+    P = fp_coeffs.shape[0]
+    n = fp_coeffs[:, :3]
+    ok_pl = fp_valid & (assoc >= 0)
+    a_s = jnp.maximum(assoc, 0)
+
+    def kf_slot(kf, mp_id):
+        """Index of map plane mp_id in keyframe kf's plane list (-1 none)."""
+        row = view["kf_pl_idx"][kf]  # (P,)
+        eq = row == mp_id
+        slot = jnp.argmax(eq)
+        return jnp.where(jnp.any(eq), slot, -1)
+
+    # --- pairs ---
+    pi, pj = jnp.triu_indices(P, k=1)
+    perp_ij = jnp.abs(jnp.sum(n[pi] * n[pj], -1)) < mf_ver_th
+    pair_ok = ok_pl[pi] & ok_pl[pj] & perp_ij
+    kf2 = view["reg2"][a_s[pi], a_s[pj]]
+    s_i = jax.vmap(kf_slot)(jnp.maximum(kf2, 0), a_s[pi])
+    s_j = jax.vmap(kf_slot)(jnp.maximum(kf2, 0), a_s[pj])
+    pair_ok = pair_ok & (kf2 >= 0) & (s_i >= 0) & (s_j >= 0)
+    np_i = view["kf_plane_npts"][jnp.maximum(kf2, 0), jnp.maximum(s_i, 0)]
+    np_j = view["kf_plane_npts"][jnp.maximum(kf2, 0), jnp.maximum(s_j, 0)]
+    pair_score = jnp.where(
+        pair_ok, np_i + np_j + fp_support[pi] + fp_support[pj], -1
+    )
+
+    # --- triples ---
+    idx = jnp.arange(P)
+    ti, tj, tk = jnp.meshgrid(idx, idx, idx, indexing="ij")
+    tmask = (ti < tj) & (tj < tk)
+    ti, tj, tk = ti.ravel(), tj.ravel(), tk.ravel()
+    tmask = tmask.ravel()
+    perp3 = (
+        (jnp.abs(jnp.sum(n[ti] * n[tj], -1)) < mf_ver_th)
+        & (jnp.abs(jnp.sum(n[ti] * n[tk], -1)) < mf_ver_th)
+        & (jnp.abs(jnp.sum(n[tj] * n[tk], -1)) < mf_ver_th)
+    )
+    tr_ok = tmask & perp3 & ok_pl[ti] & ok_pl[tj] & ok_pl[tk]
+    kf3 = view["reg3"][a_s[ti], a_s[tj], a_s[tk]]
+    t_i = jax.vmap(kf_slot)(jnp.maximum(kf3, 0), a_s[ti])
+    t_j = jax.vmap(kf_slot)(jnp.maximum(kf3, 0), a_s[tj])
+    t_k = jax.vmap(kf_slot)(jnp.maximum(kf3, 0), a_s[tk])
+    tr_ok = tr_ok & (kf3 >= 0) & (t_i >= 0) & (t_j >= 0) & (t_k >= 0)
+    np3 = (
+        view["kf_plane_npts"][jnp.maximum(kf3, 0), jnp.maximum(t_i, 0)]
+        + view["kf_plane_npts"][jnp.maximum(kf3, 0), jnp.maximum(t_j, 0)]
+        + view["kf_plane_npts"][jnp.maximum(kf3, 0), jnp.maximum(t_k, 0)]
+    )
+    tr_score = jnp.where(
+        tr_ok, np3 + fp_support[ti] + fp_support[tj] + fp_support[tk], -1
+    )
+
+    best_pair = jnp.argmax(pair_score)
+    best_tr = jnp.argmax(tr_score)
+    use_triple = tr_score[best_tr] >= jnp.maximum(pair_score[best_pair], 0)
+    found = (tr_score[best_tr] > 0) | (pair_score[best_pair] > 0)
+
+    def coeff(kf, slot):
+        return view["kf_plane_coeffs"][jnp.maximum(kf, 0), jnp.maximum(slot, 0), :3]
+
+    # camera-frame normals (MFc) and KF-frame normals (MFm)
+    c1 = jnp.where(use_triple, n[ti[best_tr]], n[pi[best_pair]])
+    c2 = jnp.where(use_triple, n[tj[best_tr]], n[pj[best_pair]])
+    c3t = n[tk[best_tr]]
+    m1 = jnp.where(
+        use_triple,
+        coeff(kf3[best_tr], t_i[best_tr]),
+        coeff(kf2[best_pair], s_i[best_pair]),
+    )
+    m2 = jnp.where(
+        use_triple,
+        coeff(kf3[best_tr], t_j[best_tr]),
+        coeff(kf2[best_pair], s_j[best_pair]),
+    )
+    m3t = coeff(kf3[best_tr], t_k[best_tr])
+    c3 = jnp.where(use_triple, c3t, jnp.cross(c1, c2))
+    m3 = jnp.where(use_triple, m3t, jnp.cross(m1, m2))
+
+    def ortho(a, b, c, fix_det):
+        M = jnp.stack([a, b, c], axis=1)
+        det = jnp.linalg.det(M)
+        flip = fix_det & (jnp.abs(det + 1.0) < 0.5)
+        M = M.at[:, 2].multiply(jnp.where(flip, -1.0, 1.0))
+        U, _, Vt = jnp.linalg.svd(M)
+        return U @ Vt
+
+    MFc = ortho(c1, c2, c3, ~use_triple)
+    MFm = ortho(m1, m2, m3, ~use_triple)
+    kf_best = jnp.where(use_triple, kf3[best_tr], kf2[best_pair])
+    T_kf = view["kf_pose"][jnp.maximum(kf_best, 0)]
+    R_wc_kf = T_kf[:3, :3].T
+    R_wc = R_wc_kf @ MFm @ MFc.T
+    return R_wc.T, found  # manhattanRcw
+
+
+# ------------------------------------------------------- plane association
+def associate_planes_device(
+    fp_coeffs: jnp.ndarray,  # (P,4) camera
+    fp_valid: jnp.ndarray,
+    T_cw: jnp.ndarray,
+    view: dict,
+    ang_th: jnp.ndarray,
+    dis_th: jnp.ndarray,
+    ver_th: jnp.ndarray,
+    par_th: jnp.ndarray,
+):
+    """PlaneMatcher::SearchMapByCoefficients, vectorized (device)."""
+    T_wc = jnp.linalg.inv(T_cw)
+    pi_w = lm.transform_plane_g2o(T_wc, fp_coeffs)  # (P,4)
+    ang = jnp.einsum("pi,mi->pm", pi_w[:, :3], view["pl_coeffs"][:, :3])
+    # min |pi_w . q| over each map plane's cloud
+    d_all = jnp.abs(
+        jnp.einsum("mki,pi->pmk", view["pl_pts"], pi_w[:, :3]) + pi_w[:, 3, None, None]
+    )  # (P, M, Kpts)
+    k_idx = jnp.arange(view["pl_pts"].shape[1])
+    pt_ok = k_idx[None, :] < view["pl_npts"][:, None]  # (M, Kpts)
+    d_min = jnp.min(jnp.where(pt_ok[None], d_all, 1e9), -1)  # (P, M)
+
+    base = fp_valid[:, None] & view["pl_valid"][None, :]
+    assoc_ok = base & (ang > ang_th) & (d_min < dis_th)
+    assoc_cost = jnp.where(assoc_ok, d_min, 1e9)
+    assoc = jnp.argmin(assoc_cost, -1).astype(jnp.int32)
+    assoc = jnp.where(jnp.min(assoc_cost, -1) < 1e9, assoc, -1)
+
+    ver_ok = base & (jnp.abs(ang) < ver_th)
+    ver_cost = jnp.where(ver_ok, jnp.abs(ang), 1e9)
+    ver = jnp.argmin(ver_cost, -1).astype(jnp.int32)
+    ver = jnp.where(jnp.min(ver_cost, -1) < 1e9, ver, -1)
+
+    par_ok = base & (jnp.abs(ang) > par_th)
+    par_cost = jnp.where(par_ok, -jnp.abs(ang), 1e9)
+    par = jnp.argmin(par_cost, -1).astype(jnp.int32)
+    par = jnp.where(jnp.min(par_cost, -1) < 1e9, par, -1)
+    return assoc, par, ver
+
+
+def build_plane_obs_device(fp_coeffs, assoc, par, ver, view):
+    P = fp_coeffs.shape[0]
+    return tracking_ops.PlaneObs(
+        pl_w=view["pl_coeffs"][jnp.maximum(assoc, 0)],
+        pl_obs=fp_coeffs,
+        pl_mask=assoc >= 0,
+        par_w=view["pl_coeffs"][jnp.maximum(par, 0)],
+        par_obs=fp_coeffs,
+        par_mask=par >= 0,
+        ver_w=view["pl_coeffs"][jnp.maximum(ver, 0)],
+        ver_obs=fp_coeffs,
+        ver_mask=ver >= 0,
+    )
+
+
+# ---------------------------------------------------------- line matching
+def associate_lines_device(det, desc, T_cw, view, K):
+    """LSDmatcher semantics on device: cosine NN + angle/midpoint gating."""
+    ml_sp, ml_ep = view["ml_sp"], view["ml_ep"]
+    R, t = T_cw[:3, :3], T_cw[:3, 3]
+
+    def proj(p):
+        pc = p @ R.T + t
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        return (
+            jnp.stack(
+                [pc[:, 0] / z * K[0, 0] + K[0, 2], pc[:, 1] / z * K[1, 1] + K[1, 2]],
+                -1,
+            ),
+            pc[:, 2],
+        )
+
+    sp2, z1 = proj(ml_sp)
+    ep2, z2 = proj(ml_ep)
+    front = (z1 > 0.05) & (z2 > 0.05) & view["ml_valid"]
+    mid_map = 0.5 * (sp2 + ep2)
+    ang_map = jnp.arctan2(ep2[:, 1] - sp2[:, 1], ep2[:, 0] - sp2[:, 0])
+    mid_f = 0.5 * (det["sp"] + det["ep"])
+    ang_f = det["angle"]
+    sim = desc @ view["ml_desc"].T  # (L, ML)
+    d_mid = jnp.linalg.norm(mid_f[:, None] - mid_map[None], axis=-1)
+    d_ang = jnp.abs(((ang_f[:, None] - ang_map[None]) + jnp.pi / 2) % jnp.pi - jnp.pi / 2)
+    allow = det["valid"][:, None] & front[None] & (d_mid < 40.0) & (
+        d_ang < jnp.radians(12.0)
+    )
+    sim = jnp.where(allow, sim, -jnp.inf)
+    best = jnp.argmax(sim, -1).astype(jnp.int32)
+    ok = jnp.max(sim, -1) > 0.7
+    return jnp.where(ok, best, -1)
+
+
+def build_line_obs_device(det, assoc, view):
+    L = assoc.shape[0]
+    a = jnp.maximum(assoc, 0)
+    xw = jnp.stack([view["ml_sp"][a], view["ml_ep"][a]], 1).reshape(2 * L, 3)
+    eq = jnp.repeat(det["eq"], 2, axis=0)
+    mask = jnp.repeat(assoc >= 0, 2)
+    return tracking_ops.LineObs(
+        xw=xw, eq=eq, info=mask.astype(jnp.float32), mask=mask
+    )
+
+
+# --------------------------------------------------------------- the step
+def build_frame_step(cfg: SlamConfig):
+    """Returns step(gray, depth, carry, view) -> (result dict, new_carry).
+
+    carry: {T_last (4,4), velocity (4,4), have_velocity ()} on device.
+    """
+    extract = build_extractor(cfg)
+    params = lm.default_params(cfg)
+    K = jnp.asarray(cfg.camera.K)
+    bf = jnp.float32(cfg.camera.bf)
+    hw = (cfg.camera.height, cfg.camera.width)
+    P = cfg.caps.max_planes_frame
+    sf = cfg.orb.scale_factor
+    nl = cfg.orb.n_levels
+    h2 = cfg.camera.height // 2
+    w2 = cfg.camera.width // 2
+    grid_shape = (h2 // plane_ops.BLOCK, w2 // plane_ops.BLOCK)
+    min_support = jnp.float32(0.04 * h2 * w2)
+    pc = cfg.plane
+    close_th = jnp.float32(cfg.th_depth_m)
+
+    empty_planes = tracking_ops.empty_plane_obs(P)
+    empty_lines = tracking_ops.empty_line_obs(cfg.caps.max_lines)
+
+    @jax.jit
+    def step(gray, depth, carry, view):
+        feats = extract(gray, depth)
+        T_seed = jnp.where(
+            carry["have_velocity"], carry["velocity"] @ carry["T_last"], carry["T_last"]
+        )
+
+        mp_view = {
+            "pos": view["mp_pos"],
+            "desc": view["mp_desc"],
+            "valid": view["mp_valid"],
+            "normal": view["mp_normal"],
+            "min_dist": view["mp_min"],
+            "max_dist": view["mp_max"],
+        }
+
+        def solve_proj(
+            T0, radius, plane_obs, line_obs, translation_only=False,
+            n_rounds=4, n_iters=8,
+        ):
+            return tracking_ops.track_projection(
+                mp_view, T0, feats, K, bf, params, radius, hw,
+                plane_obs, line_obs, scale_factor=sf, n_levels=nl,
+                translation_only=translation_only, use_scale_gate=True,
+                n_rounds=n_rounds, n_iters=n_iters,
+            )
+
+        # --- candidate solves (no structural residuals; short LM schedule —
+        # the final solve below does the full 4-round polish).  One widened
+        # radius (10 px) covers the reference's 7-then-14 retry ladder.
+        out_a = solve_proj(
+            T_seed, jnp.float32(10.0), empty_planes, empty_lines,
+            n_rounds=2, n_iters=6,
+        )
+        out_b = out_a
+        ref_view = {
+            "pos": view["mp_pos"][jnp.maximum(view["ref_mp"], 0)],
+            "desc": view["ref_desc"],
+            "valid": (view["ref_mp"] >= 0)
+            & view["mp_valid"][jnp.maximum(view["ref_mp"], 0)],
+        }
+        out_c = tracking_ops.track_descriptors(
+            ref_view, carry["T_last"], feats, view["ref_angle"], K, bf, params,
+            empty_planes, empty_lines,
+        )
+        ok_a = out_a["n_pt_inliers"] >= 10
+        ok_b = out_b["n_pt_inliers"] >= 10
+        ok_c = out_c["n_pt_inliers"] >= 10
+        ok_a = ok_a & carry["have_velocity"]
+        ok_b = ok_b & carry["have_velocity"]
+        T_init = jnp.where(
+            ok_a, out_a["T"], jnp.where(ok_b, out_b["T"], out_c["T"])
+        )
+        init_ok = ok_a | ok_b | ok_c
+
+        # --- planes at the refined pose ---
+        planes = plane_ops.extract_planes_device(
+            depth, K, P, cfg.caps.max_plane_points, grid_shape, min_support,
+            jnp.float32(pc.distance_threshold),
+        )
+        assoc, par, ver = associate_planes_device(
+            planes["coeffs"], planes["valid"], T_init, view,
+            jnp.float32(pc.association_ang_ref),
+            jnp.float32(pc.association_dis_ref),
+            jnp.float32(pc.vertical_threshold),
+            jnp.float32(pc.parallel_threshold),
+        )
+        man_R, man_found = detect_manhattan_device(
+            planes["coeffs"], planes["n_support"].astype(jnp.int32),
+            planes["valid"], assoc, view, jnp.float32(pc.mf_vertical_threshold),
+        )
+        plane_obs = build_plane_obs_device(planes["coeffs"], assoc, par, ver, view)
+
+        # --- lines ---
+        det = line_ops.detect_lines(gray, cfg.caps.max_lines)
+        ldesc = line_ops.line_descriptors(gray, det["sp"], det["ep"])
+        lifted = line_ops.lift_lines_3d(
+            depth, K, det["sp"], det["ep"], det["valid"]
+        )
+        l_assoc = associate_lines_device(det, ldesc, T_init, view, K)
+        line_obs = build_line_obs_device(det, l_assoc, view)
+
+        # --- Manhattan decoupled translation-only re-solve ---
+        T_manh = T_init.at[:3, :3].set(man_R)
+        out_t = solve_proj(
+            T_manh, jnp.float32(7.0), plane_obs, empty_lines,
+            translation_only=True, n_rounds=2, n_iters=6,
+        )
+        use_manh = man_found & (out_t["n_pt_inliers"] >= 10)
+        T_mid = jnp.where(use_manh, out_t["T"], T_init)
+
+        # --- final full solve with structural residuals ---
+        out_f = solve_proj(T_mid, jnp.float32(4.0), plane_obs, line_obs)
+        T_final = out_f["T"]
+        n_inl = out_f["n_pt_inliers"]
+        tracked_ok = init_ok & (n_inl >= 30)
+
+        # keyframe-policy quantities (device side); kp_mp maps keypoint ->
+        # matched map-point id (bank index == map id)
+        kp_mp = out_f["kp_mp"]
+        close = feats["valid"] & (feats["depth"] > 0) & (feats["depth"] < close_th)
+        kp_matched = kp_mp >= 0
+        tracked_close = jnp.sum(close & kp_matched)
+        nontracked_close = jnp.sum(close & ~kp_matched)
+
+        new_velocity = T_final @ jnp.linalg.inv(carry["T_last"])
+        new_carry = {
+            "T_last": jnp.where(tracked_ok, T_final, carry["T_last"]),
+            "velocity": jnp.where(tracked_ok, new_velocity, carry["velocity"]),
+            "have_velocity": tracked_ok,
+        }
+
+        result = {
+            "T": T_final,
+            "tracked_ok": tracked_ok,
+            "n_inliers": n_inl,
+            "n_matches": out_f["n_matches"],
+            "tracked_close": tracked_close,
+            "nontracked_close": nontracked_close,
+            "manhattan_found": man_found,
+            "use_manhattan": use_manh,
+            "new_plane": jnp.any(planes["valid"] & (assoc < 0)),
+            # landmark bookkeeping: map-point id matched per keypoint
+            "kp_mp": kp_mp,
+            "kp_idx": out_f["kp_idx"],
+            "pt_inlier": out_f["pt_inlier"],
+            "matched": out_f["matched"],
+            "visible": out_f["visible"],
+            # plane/line frame state for keyframe insertion
+            "plane_coeffs": planes["coeffs"],
+            "plane_valid": planes["valid"],
+            "plane_support": planes["n_support"],
+            "plane_assoc": assoc,
+            "plane_membership": planes["membership"],
+            "plane_cloud": planes["cloud"],
+            "plane_npts": planes["n_pts"],
+            "line_sp": det["sp"],
+            "line_ep": det["ep"],
+            "line_valid": det["valid"],
+            "line_desc": ldesc,
+            "line_sp3": lifted["sp3"],
+            "line_ep3": lifted["ep3"],
+            "line_has3d": lifted["ok"],
+            "line_assoc": l_assoc,
+            "feats": feats,
+        }
+        return result, new_carry
+
+    return step
+
+
+def init_carry() -> dict:
+    return jax.device_put(
+        {
+            "T_last": jnp.eye(4, dtype=jnp.float32),
+            "velocity": jnp.eye(4, dtype=jnp.float32),
+            "have_velocity": jnp.array(False),
+        }
+    )
+
+
+SUMMARY_KEYS = (
+    "T", "tracked_ok", "n_inliers", "n_matches", "tracked_close",
+    "nontracked_close", "manhattan_found", "use_manhattan", "new_plane",
+    "kp_mp", "matched", "visible", "plane_assoc", "plane_valid",
+)
+
+
+def pull_summary(result: dict) -> dict:
+    """One batched transfer of everything the host state machine needs."""
+    return jax.device_get({k: result[k] for k in SUMMARY_KEYS})

@@ -1,0 +1,427 @@
+"""Fast host loop around the fused device frame step.
+
+Steady-state frame cost: one host->device upload (gray+depth), one fused
+jit dispatch, one batched summary pull.  All map-dependent state lives in
+a device "map view" refreshed only at keyframe events (where the host
+does the reference's keyframe machinery: landmark creation, plane/line
+bookkeeping, Manhattan registration, local-mapping backend, surfels).
+
+Public surface mirrors Tracker (frontend/tracking.py) so the System
+facade can use either; this is the default.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from manhattanslam_tpu.config import SlamConfig
+from manhattanslam_tpu.frontend import device_tracker as dt
+from manhattanslam_tpu.frontend.frame import backproject_keypoints
+from manhattanslam_tpu.frontend.tracking import FrameRecord, LOST, NOT_INITIALIZED, OK
+from manhattanslam_tpu.geometry import se3
+from manhattanslam_tpu.slam_map import SlamMap
+
+
+class FastTracker:
+    def __init__(self, cfg: SlamConfig, slam_map: SlamMap, pipeline: bool = False):
+        self.cfg = cfg
+        self.map = slam_map
+        self.step = dt.build_frame_step(cfg)
+        self.carry = dt.init_carry()
+        self.view = None  # device map view
+        # pipeline=True: dispatch frame k before pulling frame k-1's summary,
+        # hiding the ~40 ms host<->device sync latency behind device compute.
+        # track() then returns the pose of the PREVIOUS frame (one-frame
+        # latency, like the reference's asynchronous mapping thread).
+        self.pipeline = pipeline
+        self._pending = None  # (timestamp, device result) awaiting summary
+
+        self.state = NOT_INITIALIZED
+        self.only_tracking = False
+        self.T_cw = np.eye(4, dtype=np.float32)
+        self.frame_id = -1
+        self.last_kf_frame_id = 0
+        self.ref_kf = 0
+        self.n_inliers = 0
+        self.last_mp_idx = np.full(cfg.caps.max_keypoints, -1, np.int32)
+        self.records: list[FrameRecord] = []
+        self.max_frames = int(cfg.camera.fps)
+
+        # Manhattan registries (host source of truth; dense mirrors upload)
+        MP = cfg.caps.max_map_planes
+        self.reg2 = np.full((MP, MP), -1, np.int32)
+        self.reg3 = np.full((MP, MP, MP), -1, np.int32)
+
+        # module hooks (same surface as Tracker)
+        self.plane_module = None  # unused: planes are in the fused step
+        self.line_module = None
+        self.reloc_module = None
+        self.on_keyframe = None
+        self.last_result = None  # device result dict of the last frame
+        self.velocity = None
+
+    # ------------------------------------------------------------------ API
+    def track(self, timestamp: float, gray: np.ndarray, depth: np.ndarray):
+        self.frame_id += 1
+        gd = jnp.asarray(np.stack([gray, depth]))  # one upload
+        gray_d, depth_d = gd[0], gd[1]
+
+        if self.state == NOT_INITIALIZED:
+            self._initialize(timestamp, gray_d, depth_d, gray, depth)
+            self._record(timestamp, lost=False)
+            return self.T_cw.copy()
+
+        result, new_carry = self.step(gray_d, depth_d, self.carry, self.view)
+        self.last_result = result
+        # carry updates are tracked_ok-gated on device, so adopting the new
+        # carry before reading the summary is safe
+        self.carry = new_carry
+
+        if self.pipeline:
+            out_pose = None
+            if self._pending is not None:
+                out_pose = self._finish_frame(*self._pending)
+            self._pending = (timestamp, result)
+            return out_pose
+        return self._finish_frame(timestamp, result)
+
+    def flush(self):
+        """Finish the in-flight frame (pipeline mode)."""
+        if self._pending is not None:
+            ts, result = self._pending
+            self._pending = None
+            return self._finish_frame(ts, result)
+        return None
+
+    def _finish_frame(self, timestamp: float, result) -> np.ndarray | None:
+        s = dt.pull_summary(result)  # single transfer
+
+        ok = bool(s["tracked_ok"])
+        if not ok and self.state == OK:
+            # one LOST grace attempt via relocalization
+            ok = self._relocalize(result)
+        if not ok:
+            self.state = LOST
+            self._record(timestamp, lost=True)
+            return None
+
+        self.state = OK
+        self.T_cw = s["T"].astype(np.float32)
+        self.velocity = None  # velocity lives in the device carry
+        self.n_inliers = int(s["n_inliers"])
+        self.last_mp_idx = s["kp_mp"]
+
+        # landmark statistics
+        m = self.map
+        vis = s["visible"] & m.mp_valid
+        m.mp_visible[vis] += 1
+        m.mp_found[s["matched"] & vis & s["visible"]] += 1
+
+        if not self.only_tracking and self._need_new_keyframe(s):
+            self._create_keyframe(timestamp, result, s, None, None)
+        self._record(timestamp, lost=False)
+        return self.T_cw.copy()
+
+    # ------------------------------------------------------------- keyframe
+    def _need_new_keyframe(self, s: dict) -> bool:
+        m = self.map
+        if m.n_kf >= self.cfg.caps.max_keyframes - 1:
+            return False
+        ref_ids = m.kf_mp_idx[self.ref_kf]
+        ref_matches = int((ref_ids >= 0).sum())
+        th_ref = 0.75 if m.n_kf > 2 else 0.4
+        tracked_close = int(s["tracked_close"])
+        nontracked_close = int(s["nontracked_close"])
+        need_close = tracked_close < 100 and nontracked_close > 70
+        frames_since = self.frame_id - self.last_kf_frame_id
+        c1 = (
+            frames_since >= self.max_frames
+            or frames_since >= 0
+            or self.n_inliers < ref_matches * 0.25
+            or need_close
+        )
+        c2 = (
+            self.n_inliers < ref_matches * th_ref or need_close
+        ) and self.n_inliers > 15
+        return (c1 and c2) or bool(s["new_plane"])
+
+    def _create_keyframe(self, timestamp, result, s, gray, depth) -> None:
+        m = self.map
+        # pull the keyframe payload in one transfer
+        payload = jax.device_get(
+            {
+                "feats": result["feats"],
+                "plane_coeffs": result["plane_coeffs"],
+                "plane_valid": result["plane_valid"],
+                "plane_support": result["plane_support"],
+                "plane_cloud": result["plane_cloud"],
+                "plane_npts": result["plane_npts"],
+                "line_sp3": result["line_sp3"],
+                "line_ep3": result["line_ep3"],
+                "line_has3d": result["line_has3d"],
+                "line_valid": result["line_valid"],
+                "line_desc": result["line_desc"],
+                "line_assoc": result["line_assoc"],
+            }
+        )
+        feats_np = payload["feats"]
+        kf_id = m.add_keyframe(self.T_cw, timestamp, self.frame_id, feats_np)
+
+        # new map points from depth (close-first, cap 100)
+        mp_idx = self._create_points_from_depth(feats_np, kf_id, s["kp_mp"])
+        m.set_kf_matches(kf_id, mp_idx)
+        self.last_mp_idx = mp_idx
+
+        # planes: observations / new landmarks + Manhattan registration
+        self._kf_planes(kf_id, payload, s)
+        # lines
+        self._kf_lines(kf_id, payload)
+
+        self.ref_kf = kf_id
+        self.last_kf_frame_id = self.frame_id
+        self.kf_membership = result["plane_membership"]  # for surfel exclusion
+        if self.on_keyframe is not None:
+            self.on_keyframe(kf_id, result["feats"], feats_np)
+        self.refresh_view()
+
+    kf_membership = None
+
+    def _create_points_from_depth(self, feats_np, kf_id, existing, max_new=100):
+        cfg = self.cfg
+        m = self.map
+        depth = feats_np["depth"]
+        valid = feats_np["valid"] & (depth > 0) & (existing < 0)
+        close_th = cfg.th_depth_m
+        order = np.argsort(np.where(valid, depth, np.inf))
+        n_new = 0
+        chosen = []
+        for k in order:
+            if not valid[k]:
+                break
+            if depth[k] > close_th and n_new >= max_new:
+                break
+            chosen.append(k)
+            n_new += 1
+        out = existing.copy()
+        if not chosen:
+            return out
+        chosen = np.array(chosen)
+        cam = cfg.camera
+        d = depth[chosen]
+        x = (feats_np["xy_und"][chosen, 0] - cam.cx) / cam.fx * d
+        y = (feats_np["xy_und"][chosen, 1] - cam.cy) / cam.fy * d
+        pts_c = np.stack([x, y, d], -1)
+        T_wc = np.linalg.inv(self.T_cw)
+        pts_w = pts_c @ T_wc[:3, :3].T + T_wc[:3, 3]
+        cam_center = T_wc[:3, 3]
+        dvec = pts_w - cam_center
+        dist = np.linalg.norm(dvec, axis=1).clip(1e-9)
+        lvl = feats_np["level"][chosen]
+        sf = cfg.orb.scale_factor
+        max_d = dist * sf**lvl
+        min_d = max_d / sf ** (cfg.orb.n_levels - 1)
+        n_free = int((~m.mp_valid).sum())
+        if n_free < len(chosen):
+            chosen = chosen[:n_free]
+            if len(chosen) == 0:
+                return out
+            pts_w, dist, lvl = pts_w[: len(chosen)], dist[: len(chosen)], lvl[: len(chosen)]
+            max_d, min_d, dvec = max_d[: len(chosen)], min_d[: len(chosen)], dvec[: len(chosen)]
+        ids = m.add_points(
+            pts_w, feats_np["desc"][chosen], dvec / dist[:, None],
+            min_d, max_d, lvl, kf_id,
+        )
+        out[chosen] = ids
+        return out
+
+    def _kf_planes(self, kf_id, payload, s) -> None:
+        m = self.map
+        T_wc = np.linalg.inv(self.T_cw)
+        P = self.cfg.caps.max_planes_frame
+        assoc = s["plane_assoc"].copy()
+        from manhattanslam_tpu.frontend.planes_module import transform_plane_np
+
+        for i in range(P):
+            if not payload["plane_valid"][i]:
+                continue
+            cloud_c = payload["plane_cloud"][i][: payload["plane_npts"][i]]
+            cloud_w = cloud_c @ T_wc[:3, :3].T + T_wc[:3, 3]
+            j = int(assoc[i])
+            if j >= 0 and m.pl_valid[j]:
+                m.merge_plane_points(j, cloud_w)
+                m.pl_n_obs[j] += 1
+            else:
+                if (~m.pl_valid).sum() == 0:
+                    continue
+                pi_w = transform_plane_np(T_wc, payload["plane_coeffs"][i])
+                j = m.add_plane(pi_w, cloud_w, kf_id)
+                assoc[i] = j
+            m.kf_pl_idx[kf_id, i] = j
+            m.kf_plane_coeffs[kf_id, i] = payload["plane_coeffs"][i]
+            m.kf_plane_npts[kf_id, i] = payload["plane_support"][i]
+
+        # Manhattan registration (LocalMapping.cc:172-218)
+        th = self.cfg.plane.mf_vertical_threshold
+        ids = [
+            i for i in range(P)
+            if payload["plane_valid"][i] and assoc[i] >= 0
+        ]
+        for a in range(len(ids)):
+            i = ids[a]
+            ni = payload["plane_coeffs"][i][:3]
+            for b in range(a + 1, len(ids)):
+                j = ids[b]
+                nj = payload["plane_coeffs"][j][:3]
+                if abs(float(ni @ nj)) > th:
+                    continue
+                pa, pb = int(assoc[i]), int(assoc[j])
+                if self.reg2[pa, pb] < 0:
+                    for x, y in ((pa, pb), (pb, pa)):
+                        self.reg2[x, y] = kf_id
+                    m.add_manhattan_pair(pa, pb, kf_id)
+                for c_ in range(b + 1, len(ids)):
+                    k = ids[c_]
+                    nk = payload["plane_coeffs"][k][:3]
+                    if abs(float(ni @ nk)) > th or abs(float(nj @ nk)) > th:
+                        continue
+                    pc_ = int(assoc[k])
+                    trip = (pa, pb, pc_)
+                    if self.reg3[trip] < 0:
+                        import itertools
+
+                        for perm in itertools.permutations(trip):
+                            self.reg3[perm] = kf_id
+                        m.add_manhattan_triple(pa, pb, pc_, kf_id)
+
+    def _kf_lines(self, kf_id, payload, max_new: int = 30) -> None:
+        m = self.map
+        T_wc = np.linalg.inv(self.T_cw)
+        n_new = 0
+        for i in range(self.cfg.caps.max_lines):
+            if not payload["line_valid"][i]:
+                continue
+            j = int(payload["line_assoc"][i])
+            if j >= 0 and m.ml_valid[j]:
+                m.ml_n_obs[j] += 1
+                m.ml_found[j] += 1
+            elif payload["line_has3d"][i] and n_new < max_new:
+                free = np.nonzero(~m.ml_valid)[0]
+                if len(free) == 0:
+                    break
+                j = int(free[0])
+                m.ml_sp[j] = payload["line_sp3"][i] @ T_wc[:3, :3].T + T_wc[:3, 3]
+                m.ml_ep[j] = payload["line_ep3"][i] @ T_wc[:3, :3].T + T_wc[:3, 3]
+                m.ml_desc[j, : payload["line_desc"].shape[1]] = payload["line_desc"][i]
+                m.ml_valid[j] = True
+                m.ml_n_obs[j] = 1
+                m.ml_first_kf[j] = kf_id
+                n_new += 1
+            else:
+                continue
+            m.kf_ml_idx[kf_id, i] = j
+
+    # ------------------------------------------------------- initialization
+    def _initialize(self, timestamp, gray_d, depth_d, gray, depth) -> None:
+        self.T_cw = np.eye(4, dtype=np.float32)
+        # bootstrap view so the step can run (empty map)
+        self.refresh_view()
+        result, _ = self.step(gray_d, depth_d, self.carry, self.view)
+        self.last_result = result
+        payload = jax.device_get(
+            {
+                "feats": result["feats"],
+                "plane_coeffs": result["plane_coeffs"],
+                "plane_valid": result["plane_valid"],
+                "plane_support": result["plane_support"],
+                "plane_cloud": result["plane_cloud"],
+                "plane_npts": result["plane_npts"],
+                "line_sp3": result["line_sp3"],
+                "line_ep3": result["line_ep3"],
+                "line_has3d": result["line_has3d"],
+                "line_valid": result["line_valid"],
+                "line_desc": result["line_desc"],
+                "line_assoc": result["line_assoc"],
+            }
+        )
+        feats_np = payload["feats"]
+        m = self.map
+        kf_id = m.add_keyframe(self.T_cw, timestamp, self.frame_id, feats_np)
+        mp_idx = self._create_points_from_depth(
+            feats_np, kf_id,
+            np.full(self.cfg.caps.max_keypoints, -1, np.int32), max_new=10**9,
+        )
+        m.set_kf_matches(kf_id, mp_idx)
+        self.last_mp_idx = mp_idx
+        s0 = {
+            "plane_assoc": np.full(self.cfg.caps.max_planes_frame, -1, np.int32),
+        }
+        self._kf_planes(kf_id, payload, s0)
+        self._kf_lines(kf_id, payload)
+        self.ref_kf = kf_id
+        self.last_kf_frame_id = self.frame_id
+        self.state = OK
+        self.carry = dt.init_carry()
+        self.kf_membership = result["plane_membership"]
+        if self.on_keyframe is not None:
+            self.on_keyframe(kf_id, result["feats"], feats_np)
+        self.refresh_view()
+
+    def refresh_view(self) -> None:
+        self.view = dt.build_map_view(self.cfg, self.map, self.reg2, self.reg3)
+        self.view = dt.set_ref_kf(self.view, self.map, self.ref_kf)
+
+    # --------------------------------------------------------------- reloc
+    def _relocalize(self, result) -> bool:
+        if self.reloc_module is None:
+            return False
+        T = self.reloc_module.relocalize(result["feats"])
+        if T is None:
+            return False
+        self.T_cw = T.astype(np.float32)
+        self.carry = jax.device_put(
+            {
+                "T_last": jnp.asarray(self.T_cw),
+                "velocity": jnp.eye(4, dtype=jnp.float32),
+                "have_velocity": jnp.array(False),
+            }
+        )
+        self.n_inliers = 50
+        return True
+
+    # ---------------------------------------------------------- export etc.
+    def _record(self, timestamp: float, lost: bool) -> None:
+        T_ref = self.map.kf_pose[self.ref_kf]
+        if lost:
+            T_cr = self.records[-1].T_cr if self.records else np.eye(4, np.float32)
+        else:
+            T_cr = (self.T_cw @ np.linalg.inv(T_ref)).astype(np.float32)
+        self.records.append(FrameRecord(timestamp, self.ref_kf, T_cr, lost))
+
+    def trajectory_rows(self):
+        rows = []
+        Two = np.linalg.inv(self.map.kf_pose[0])
+        for rec in self.records:
+            if rec.lost:
+                continue
+            Trw = self.map.kf_pose[rec.ref_kf] @ Two
+            T_cw = rec.T_cr @ Trw
+            R_wc = T_cw[:3, :3].T
+            t_wc = -R_wc @ T_cw[:3, 3]
+            q = np.asarray(se3.rotmat_to_quat(jnp.asarray(R_wc)))
+            rows.append((rec.timestamp, t_wc, q))
+        return rows
+
+    def keyframe_rows(self):
+        rows = []
+        m = self.map
+        for i in range(m.n_kf):
+            if not m.kf_valid[i]:
+                continue
+            T = m.kf_pose[i]
+            R_wc = T[:3, :3].T
+            t_wc = -R_wc @ T[:3, 3]
+            q = np.asarray(se3.rotmat_to_quat(jnp.asarray(R_wc)))
+            rows.append((m.kf_time[i], t_wc, q))
+        return rows

@@ -106,7 +106,7 @@ def build_point_problem(
     jax.jit,
     static_argnames=(
         "image_hw", "scale_factor", "n_levels", "translation_only",
-        "use_scale_gate",
+        "use_scale_gate", "n_rounds", "n_iters",
     ),
 )
 def track_projection(
@@ -124,6 +124,8 @@ def track_projection(
     n_levels: int = 8,
     translation_only: bool = False,
     use_scale_gate: bool = False,
+    n_rounds: int = 4,
+    n_iters: int = 10,
 ) -> dict:
     """Project landmark set `pts` with seed pose, match, solve.
 
@@ -152,19 +154,42 @@ def track_projection(
         point_levels=levels,
         max_depth_ratio=depth_band, view_dirs=view,
     )
+    # compact the problem to keypoint-indexed arrays: the landmark bank can
+    # be 32x larger than the keypoint budget, and the LM iteration cost
+    # scales with the residual row count
+    n_kp = feats["desc"].shape[0]
+    n_bank = pts["pos"].shape[0]
+    bank_ids = jnp.arange(n_bank, dtype=jnp.int32)
+    point_of_kp = jnp.full(n_kp, -1, jnp.int32).at[m["kp_idx"]].max(
+        jnp.where(m["valid"], bank_ids, -1), mode="drop"
+    )
+    matched_kp = point_of_kp >= 0
+    pts_kp = pts["pos"][jnp.maximum(point_of_kp, 0)]
     prob = build_point_problem(
-        pts["pos"], m["kp_idx"], m["valid"], feats, plane_obs, line_obs
+        pts_kp, jnp.arange(n_kp, dtype=jnp.int32), matched_kp, feats,
+        plane_obs, line_obs,
     )
     out = lm.solve_pose(
-        prob, T_seed, K, bf, params, translation_only=translation_only
+        prob, T_seed, K, bf, params, translation_only=translation_only,
+        n_rounds=n_rounds, n_iters=n_iters,
     )
-    pt_inlier = out["inlier_mono"] | out["inlier_st"]
+    kp_inlier = out["inlier_mono"] | out["inlier_st"]  # per keypoint
+    # per-keypoint matched map/bank id (post-inlier)
+    kp_mp = jnp.where(kp_inlier, point_of_kp, -1)
+    # bank-level masks for landmark statistics
+    inlier_bank = (
+        jnp.zeros(n_bank, bool)
+        .at[jnp.maximum(point_of_kp, 0)]
+        .max(kp_inlier & matched_kp, mode="drop")
+    )
     out.update(
+        kp_mp=kp_mp,
+        kp_inlier=kp_inlier,
+        matched=m["valid"] & inlier_bank,
+        pt_inlier=inlier_bank,
         kp_idx=m["kp_idx"],
-        matched=m["valid"],
-        pt_inlier=pt_inlier,
-        n_matches=jnp.sum(m["valid"]),
-        n_pt_inliers=jnp.sum(pt_inlier),
+        n_matches=jnp.sum(matched_kp),
+        n_pt_inliers=jnp.sum(kp_inlier & matched_kp),
         visible=m["z"] > 0,
     )
     return out

@@ -52,7 +52,8 @@ class SurfelMapper:
 
     # ------------------------------------------------------------------ API
     def insert_keyframe(
-        self, kf_id: int, gray: np.ndarray, depth: np.ndarray, plane_module
+        self, kf_id: int, gray: np.ndarray, depth: np.ndarray, plane_module=None,
+        plane_membership=None,
     ) -> None:
         m = self.map
         T_cw = m.kf_pose[kf_id].astype(np.float32)
@@ -76,8 +77,11 @@ class SurfelMapper:
         # plane-pixel exclusion mask at full resolution
         H, W = gray.shape
         plane_mask = np.zeros((H, W), bool)
-        if plane_module is not None and plane_module.frame_planes is not None:
+        memb = plane_membership
+        if memb is None and plane_module is not None and plane_module.frame_planes is not None:
             memb = plane_module.frame_planes["membership"]  # half-res
+        if memb is not None:
+            memb = np.asarray(memb)
             up = np.repeat(np.repeat(memb >= 0, 2, 0), 2, 1)
             plane_mask[: up.shape[0], : up.shape[1]] = up[:H, :W]
 

@@ -108,9 +108,12 @@ def match_descriptors(
     if extra_mask is not None:
         allow = allow & extra_mask
     d = jnp.where(allow, d, BIG)
-    neg_top2, idx_top2 = jax.lax.top_k(-d, 2)
-    best, second = -neg_top2[:, 0], -neg_top2[:, 1]
-    idx = idx_top2[:, 0]
+    # min + masked second-min instead of top_k: top_k lowers to a full
+    # per-row sort on TPU (~40 ms at 32768x1024); this is 3 linear passes
+    idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    best = jnp.min(d, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    second = jnp.min(jnp.where(cols == idx[:, None], BIG, d), axis=1)
     ok = best <= max_dist
     if ratio > 0:
         ok = ok & (best < ratio * second)
@@ -178,23 +181,49 @@ def search_by_projection(
         point_levels = jnp.zeros(pts_w.shape[0], jnp.int32)
     rad = radius * scale_factor ** point_levels.astype(jnp.float32)
 
-    duv = feats["xy_und"][None, :, :] - uv[:, None, :]
-    pix_ok = (jnp.abs(duv[..., 0]) <= rad[:, None]) & (
-        jnp.abs(duv[..., 1]) <= rad[:, None]
+    # frustum compaction: only gated (visible) landmarks enter the big
+    # (candidates x keypoints) tensors — the bank can be 32x the number of
+    # points actually in view, and HBM traffic scales with the product
+    N = pts_w.shape[0]
+    CAND = min(4096, N)
+    if CAND < N:
+        rank = jnp.cumsum(gate.astype(jnp.int32)) - 1
+        slot = jnp.where(gate & (rank < CAND), rank, CAND)
+        cand_idx = jnp.zeros(CAND, jnp.int32).at[slot].set(
+            jnp.arange(N, dtype=jnp.int32), mode="drop"
+        )
+        cand_valid = jnp.zeros(CAND, bool).at[slot].set(gate, mode="drop")
+    else:
+        cand_idx = jnp.arange(N, dtype=jnp.int32)
+        cand_valid = gate
+    c_uv = uv[cand_idx]
+    c_rad = rad[cand_idx]
+    c_lvl = point_levels[cand_idx]
+    c_desc = descs[cand_idx]
+
+    duv = feats["xy_und"][None, :, :] - c_uv[:, None, :]
+    pix_ok = (jnp.abs(duv[..., 0]) <= c_rad[:, None]) & (
+        jnp.abs(duv[..., 1]) <= c_rad[:, None]
     )
-    lvl_diff = jnp.abs(feats["level"][None, :] - point_levels[:, None])
+    lvl_diff = jnp.abs(feats["level"][None, :] - c_lvl[:, None])
     pix_ok = pix_ok & (lvl_diff <= level_tolerance)
 
     idx, dist, ok = match_descriptors(
-        descs,
+        c_desc,
         feats["desc"],
-        gate,
+        cand_valid,
         feats["valid"],
         max_dist=max_dist,
         extra_mask=pix_ok,
     )
     ok = resolve_one_to_one(idx, dist, ok, feats["desc"].shape[0])
-    return {"kp_idx": idx, "dist": dist, "valid": ok, "proj_uv": uv, "z": z}
+    # scatter candidate-level results back to bank-level arrays (invalid
+    # candidate slots point at N -> dropped, so they cannot clobber slot 0)
+    tgt = jnp.where(cand_valid, cand_idx, N)
+    kp_idx = jnp.zeros(N, jnp.int32).at[tgt].set(idx, mode="drop")
+    dist_b = jnp.full(N, BIG, dist.dtype).at[tgt].set(dist, mode="drop")
+    ok_b = jnp.zeros(N, bool).at[tgt].set(ok, mode="drop")
+    return {"kp_idx": kp_idx, "dist": dist_b, "valid": ok_b, "proj_uv": uv, "z": z}
 
 
 def predict_scale_level(

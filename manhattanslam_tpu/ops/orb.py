@@ -103,16 +103,18 @@ def select_grid_topk(
 
 
 def gather_patches(img: jnp.ndarray, xy: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Gather (N, 2r+1, 2r+1) patches centered at integer xy (x, y)."""
+    """Gather (N, 2r+1, 2r+1) patches centered at integer xy (x, y).
+
+    One batched gather (advanced indexing) — much faster on TPU than a
+    vmapped dynamic_slice per keypoint.
+    """
     d = 2 * radius + 1
     h, w = img.shape
     x0 = jnp.clip(xy[:, 0].astype(jnp.int32) - radius, 0, w - d)
     y0 = jnp.clip(xy[:, 1].astype(jnp.int32) - radius, 0, h - d)
-
-    def one(y, x):
-        return jax.lax.dynamic_slice(img, (y, x), (d, d))
-
-    return jax.vmap(one)(y0, x0)
+    dy = jnp.arange(d)[None, :, None]
+    dx = jnp.arange(d)[None, None, :]
+    return img[y0[:, None, None] + dy, x0[:, None, None] + dx]
 
 
 def ic_angle(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:

@@ -98,6 +98,97 @@ def block_stats(points: jnp.ndarray, block: int = BLOCK) -> dict:
     }
 
 
+@partial(jax.jit, static_argnames=("grid_shape", "n_iters"))
+def merge_blocks_device(
+    stats: dict,
+    grid_shape: tuple[int, int],
+    min_support: jnp.ndarray,
+    angle_cos: float = 0.93,
+    n_iters: int = 64,
+):
+    """Device-side block merging by min-label propagation.
+
+    The reference's AHC heap (AHCPlaneFitter.hpp ahCluster) is a strictly
+    sequential min-MSE merge; on clean indoor depth the same segments fall
+    out of connected-component clustering with pairwise gates (normal
+    agreement + mutual point-to-plane consistency), which is a data-parallel
+    fixpoint: each block repeatedly takes the minimum label over its
+    mergeable neighbors.  Runs fully on device — no host roundtrip in the
+    per-frame path (the exact C++ AHC in native/ahc_merge.cpp remains as
+    the host-side reference implementation).
+
+    Returns labels (B,) int32: root block index per block, -1 invalid.
+    """
+    bh, bw = grid_shape
+    B = bh * bw
+    normal = stats["normal"].reshape(bh, bw, 3)
+    mean = stats["mean"].reshape(bh, bw, 3)
+    valid = stats["valid"].reshape(bh, bw)
+
+    def shift(a, dy, dx):
+        return jnp.roll(a, (dy, dx), axis=(0, 1))
+
+    def edge_ok(dy, dx):
+        n2 = shift(normal, dy, dx)
+        m2 = shift(mean, dy, dx)
+        v2 = shift(valid, dy, dx)
+        dot = jnp.sum(normal * n2, -1)
+        # mutual plane-consistency: each centroid close to the other's plane
+        d12 = jnp.abs(jnp.sum((m2 - mean) * normal, -1))
+        d21 = jnp.abs(jnp.sum((mean - m2) * n2, -1))
+        tol = 0.01 + 0.012 * mean[..., 2]
+        ok = (dot > angle_cos) & (d12 < tol) & (d21 < tol) & valid & v2
+        # forbid wrap-around edges
+        ys = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+        if dy == 1:
+            ok = ok & (ys > 0)
+        if dy == -1:
+            ok = ok & (ys < bh - 1)
+        if dx == 1:
+            ok = ok & (xs > 0)
+        if dx == -1:
+            ok = ok & (xs < bw - 1)
+        return ok
+
+    oks = {d: edge_ok(*d) for d in ((1, 0), (-1, 0), (0, 1), (0, -1))}
+    init = jnp.where(
+        valid, jnp.arange(B, dtype=jnp.int32).reshape(bh, bw), jnp.int32(B)
+    )
+
+    def body(_, lab):
+        for (dy, dx), ok in oks.items():
+            lab = jnp.where(ok, jnp.minimum(lab, shift(lab, dy, dx)), lab)
+        return lab
+
+    lab = jax.lax.fori_loop(0, n_iters, body, init)
+    lab = jnp.where(valid, lab, -1).reshape(-1)
+
+    # support per root; drop small segments
+    n = stats["n"].astype(jnp.float32)
+    support = jnp.zeros(B + 1).at[jnp.where(lab >= 0, lab, B)].add(n)
+    keep = support[jnp.clip(lab, 0, B)] >= min_support
+    return jnp.where((lab >= 0) & keep, lab, -1)
+
+
+@partial(jax.jit, static_argnames=("max_planes",))
+def top_segments(labels: jnp.ndarray, n_blocks: jnp.ndarray, max_planes: int):
+    """Map root-block labels to dense plane slots 0..P-1 by support order."""
+    B = labels.shape[0]
+    support = jnp.zeros(B + 1).at[jnp.where(labels >= 0, labels, B)].add(
+        n_blocks.astype(jnp.float32)
+    )
+    support = support[:B]
+    # only root labels carry support > 0
+    top_v, top_i = jax.lax.top_k(support, max_planes)
+    # block label -> slot
+    slot = jnp.full(B, -1, jnp.int32)
+    slot = slot.at[top_i].set(
+        jnp.where(top_v > 0, jnp.arange(max_planes, dtype=jnp.int32), -1)
+    )
+    return jnp.where(labels >= 0, slot[jnp.clip(labels, 0, B - 1)], -1)
+
+
 def _seg_plane(n, s1, s2):
     """Plane from accumulated moments: (normal, d, mse)."""
     mean = s1 / n
@@ -210,7 +301,219 @@ def merge_blocks(
     return labels
 
 
+@partial(jax.jit, static_argnames=("stride",))
+def plane_stage1(depth: jnp.ndarray, K: jnp.ndarray, stride: int = 2):
+    """Device stage 1: cloud + block stats, PACKED for a single host pull.
+
+    Returns (pts (h,w,3) device, packed (B, 20) float32):
+    packed = [n, s1(3), s2-upper(6), normal(3), mean(3), mse, valid, pad(2)].
+    """
+    pts = depth_to_points(depth, K, stride)
+    st = block_stats(pts)
+    s2u = jnp.stack(
+        [
+            st["s2"][:, 0, 0], st["s2"][:, 0, 1], st["s2"][:, 0, 2],
+            st["s2"][:, 1, 1], st["s2"][:, 1, 2], st["s2"][:, 2, 2],
+        ],
+        -1,
+    )
+    packed = jnp.concatenate(
+        [
+            st["n"].astype(jnp.float32)[:, None],
+            st["s1"], s2u, st["normal"], st["mean"],
+            st["mse"][:, None],
+            st["valid"].astype(jnp.float32)[:, None],
+            jnp.zeros((st["n"].shape[0], 2), jnp.float32),
+        ],
+        -1,
+    )
+    return pts, packed
+
+
+def unpack_stats(packed: np.ndarray) -> dict:
+    n = packed[:, 0]
+    s1 = packed[:, 1:4]
+    u = packed[:, 4:10]
+    s2 = np.zeros((len(packed), 3, 3), np.float64)
+    s2[:, 0, 0], s2[:, 0, 1], s2[:, 0, 2] = u[:, 0], u[:, 1], u[:, 2]
+    s2[:, 1, 1], s2[:, 1, 2], s2[:, 2, 2] = u[:, 3], u[:, 4], u[:, 5]
+    s2[:, 1, 0], s2[:, 2, 0], s2[:, 2, 1] = u[:, 1], u[:, 2], u[:, 4]
+    return {
+        "n": n, "s1": s1, "s2": s2,
+        "normal": packed[:, 10:13], "mean": packed[:, 13:16],
+        "mse": packed[:, 16], "valid": packed[:, 17] > 0.5,
+    }
+
+
+@partial(jax.jit, static_argnames=("max_planes", "max_points", "block"))
+def plane_stage2(
+    pts: jnp.ndarray,
+    block_plane: jnp.ndarray,  # (bh, bw) int32 in [-1, P)
+    dist_th: jnp.ndarray,
+    max_planes: int,
+    max_points: int,
+    block: int = BLOCK,
+):
+    """Device stage 2: pixel membership, refit, refinement, cloud selection.
+
+    Returns (membership (h,w) int32, packed_planes (P, 8), clouds (P,M,3)):
+    packed_planes = [coeffs(4), n_support, valid, inlier_frac, pad].
+    """
+    h, w, _ = pts.shape
+    bh, bw = block_plane.shape
+    P = max_planes
+    lab_img = jnp.repeat(jnp.repeat(block_plane, block, 0), block, 1)
+    lab_full = jnp.full((h, w), -1, jnp.int32)
+    lab_full = lab_full.at[: bh * block, : bw * block].set(
+        lab_img[: min(bh * block, h), : min(bw * block, w)]
+    )
+    finite = jnp.isfinite(pts[..., 2])
+    lab_full = jnp.where(finite, lab_full, -1)
+
+    def fit(labels):
+        onehot = (
+            labels[None] == jnp.arange(P, dtype=jnp.int32)[:, None, None]
+        ).astype(jnp.float32)  # (P, h, w)
+        n = jnp.sum(onehot, (1, 2))
+        pz = jnp.where(finite[..., None], pts, 0.0)
+        s1 = jnp.einsum("phw,hwi->pi", onehot, pz)
+        s2 = jnp.einsum("phw,hwi,hwj->pij", onehot, pz, pz)
+        nn = n.clip(1.0)
+        mean = s1 / nn[:, None]
+        cov = s2 / nn[:, None, None] - mean[:, None, :] * mean[:, :, None]
+        evals, evecs = jnp.linalg.eigh(cov)
+        nrm = evecs[..., 0]
+        flip = jnp.sum(nrm * mean, -1) > 0
+        nrm = jnp.where(flip[:, None], -nrm, nrm)
+        d = -jnp.sum(nrm * mean, -1)
+        return nrm, d, n
+
+    nrm, d, n0 = fit(lab_full)
+    # refinement: drop pixels off their plane, then refit
+    safe_lab = jnp.maximum(lab_full, 0)
+    pix_dist = jnp.abs(
+        jnp.sum(pts * nrm[safe_lab], -1) + d[safe_lab]
+    )
+    lab_ref = jnp.where((lab_full >= 0) & (pix_dist < dist_th), lab_full, -1)
+    nrm, d, n_ref = fit(lab_ref)
+    pix_dist2 = jnp.abs(jnp.sum(pts * nrm[jnp.maximum(lab_ref, 0)], -1) + d[jnp.maximum(lab_ref, 0)])
+    lab_ref = jnp.where((lab_ref >= 0) & (pix_dist2 < dist_th * 1.5), lab_ref, -1)
+
+    inlier_frac = n_ref / n0.clip(1.0)
+    valid = (n_ref > 0) & (inlier_frac > 0.6)
+
+    # Plane3D normalization (w >= 0)
+    coeffs = jnp.concatenate([nrm, d[:, None]], -1)
+    flip = coeffs[:, 3:4] < 0
+    coeffs = jnp.where(flip, -coeffs, coeffs)
+
+    # cloud selection: pseudo-random spread of member pixels, top max_points
+    idx_flat = jnp.arange(h * w, dtype=jnp.uint32)
+    prio = (idx_flat * jnp.uint32(2654435761)) >> jnp.uint32(8)  # hash order
+    lab_flat = lab_ref.ravel()
+    clouds = []
+    counts = []
+    for p_ in range(P):
+        mask = lab_flat == p_
+        pr = jnp.where(mask, prio, jnp.uint32(0))
+        topv, topi = jax.lax.top_k(pr, max_points)
+        pts_sel = pts.reshape(-1, 3)[topi]
+        ok = topv > 0
+        clouds.append(jnp.where(ok[:, None], pts_sel, 0.0))
+        counts.append(jnp.sum(mask))
+    clouds = jnp.stack(clouds)  # (P, M, 3)
+    n_pts = jnp.minimum(jnp.stack(counts), max_points)
+
+    packed = jnp.concatenate(
+        [
+            coeffs,
+            n_ref[:, None],
+            valid.astype(jnp.float32)[:, None],
+            inlier_frac[:, None],
+            n_pts.astype(jnp.float32)[:, None],
+        ],
+        -1,
+    )
+    return lab_ref, packed, clouds
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_planes", "max_points", "stride", "grid_shape"),
+)
+def extract_planes_device(
+    depth: jnp.ndarray,
+    K: jnp.ndarray,
+    max_planes: int,
+    max_points: int,
+    grid_shape: tuple[int, int],
+    min_support: jnp.ndarray,
+    dist_th: jnp.ndarray,
+    stride: int = 2,
+) -> dict:
+    """Frame-plane extraction entirely on device (zero host roundtrips):
+    cloud -> block stats -> label-propagation merge -> refinement + clouds.
+
+    Returns device dict: membership (h,w) int32, coeffs (P,4),
+    n_support (P,), valid (P,), n_pts (P,), cloud (P,M,3).
+    """
+    pts = depth_to_points(depth, K, stride)
+    st = block_stats(pts)
+    labels = merge_blocks_device(st, grid_shape, min_support)
+    block_plane = top_segments(labels, st["n"], max_planes).reshape(grid_shape)
+    membership, packed, clouds = plane_stage2(
+        pts, block_plane, dist_th, max_planes, max_points
+    )
+    n_support = packed[:, 4].astype(jnp.int32)
+    return {
+        "membership": membership,
+        "coeffs": packed[:, :4],
+        "n_support": n_support,
+        "valid": (packed[:, 5] > 0.5) & (n_support >= min_support),
+        "n_pts": packed[:, 7].astype(jnp.int32),
+        "cloud": clouds,
+        "packed": packed,  # single-pull bundle for the host
+    }
+
+
 def extract_planes(
+    depth: np.ndarray,
+    K: np.ndarray,
+    max_planes: int,
+    max_points: int,
+    min_support_frac: float = 0.04,
+    dist_th: float = 0.04,
+    voxel: float = 0.2,
+    stride: int = 2,
+) -> dict:
+    """Host wrapper over the all-device pipeline: dispatches
+    extract_planes_device, then pulls coefficients + clouds in ONE batched
+    device_get.  `membership` stays a device array; convert with
+    np.asarray when needed (surfel insertion pulls it per keyframe only).
+    """
+    import jax
+
+    h = depth.shape[0] // stride
+    w = depth.shape[1] // stride
+    bh, bw = h // BLOCK, w // BLOCK
+    min_support = int(min_support_frac * h * w)
+    dev = extract_planes_device(
+        jnp.asarray(depth), jnp.asarray(K), max_planes, max_points,
+        (bh, bw), jnp.float32(min_support), jnp.float32(dist_th), stride,
+    )
+    pk, cloud = jax.device_get((dev["packed"], dev["cloud"]))
+    n_support = pk[:, 4].astype(np.int32)
+    return {
+        "coeffs": pk[:, :4].astype(np.float32),
+        "cloud": cloud,
+        "n_pts": pk[:, 7].astype(np.int32),
+        "n_support": n_support,
+        "valid": (pk[:, 5] > 0.5) & (n_support >= min_support),
+        "membership": dev["membership"],  # device array
+    }
+
+
+def extract_planes_reference_python(
     depth: np.ndarray,
     K: np.ndarray,
     max_planes: int,

@@ -28,12 +28,28 @@ class System:
         enable_planes: bool = True,
         enable_lines: bool = True,
         enable_surfels: bool = True,
+        fast: bool = False,
+        pipeline: bool = False,
     ):
+        """fast=True uses the fused single-jit device tracker
+        (frontend/device_tracker.py): all subsystems always on, one
+        host<->device roundtrip per frame.  fast=False uses the modular
+        per-stage tracker (frontend/tracking.py) with per-subsystem toggles.
+        pipeline=True additionally overlaps device compute with the summary
+        pull (one-frame result latency; fast mode only).
+        """
         self.cfg = (
             settings if isinstance(settings, SlamConfig) else load_config(settings)
         )
         self.map = SlamMap(self.cfg)
-        self.tracker = Tracker(self.cfg, self.map)
+        self.fast = fast
+        if fast:
+            from manhattanslam_tpu.frontend.fast_tracking import FastTracker
+
+            self.tracker = FastTracker(self.cfg, self.map, pipeline=pipeline)
+            enable_planes = enable_lines = False  # fused into the step
+        else:
+            self.tracker = Tracker(self.cfg, self.map)
         self.viewer = None
 
         self.local_mapper = None
@@ -82,6 +98,8 @@ class System:
                 pass
         self._last_gray = None
         self._last_depth = None
+        self._prev_gray = None
+        self._prev_depth = None
 
     # ------------------------------------------------------------------ API
     def track(self, rgb: np.ndarray, depth: np.ndarray, timestamp: float):
@@ -95,6 +113,7 @@ class System:
             if rgb.ndim == 2
             else to_gray(rgb, self.cfg.camera.rgb)
         )
+        self._prev_gray, self._prev_depth = self._last_gray, self._last_depth
         self._last_gray, self._last_depth = gray, depth
         T = self.tracker.track(timestamp, gray, depth)
         if self.viewer is not None:
@@ -113,7 +132,12 @@ class System:
     def reset(self) -> None:
         """System reset (Tracking::Reset, Tracking.cc:2057-2087)."""
         self.map = SlamMap(self.cfg)
-        tracker = Tracker(self.cfg, self.map)
+        if self.fast:
+            from manhattanslam_tpu.frontend.fast_tracking import FastTracker
+
+            tracker = FastTracker(self.cfg, self.map)
+        else:
+            tracker = Tracker(self.cfg, self.map)
         tracker.plane_module = self.tracker.plane_module
         tracker.line_module = self.tracker.line_module
         tracker.reloc_module = self.tracker.reloc_module
@@ -130,6 +154,8 @@ class System:
 
     def shutdown(self) -> None:
         """Flush mappers (System::Shutdown, System.cc:167-186)."""
+        if hasattr(self.tracker, "flush"):
+            self.tracker.flush()
         if self.surfel_mapper is not None:
             self.surfel_mapper.finish()
 
@@ -143,6 +169,25 @@ class System:
         if self.surfel_mapper is not None:
             self.surfel_mapper.save_ply(path)
 
+    def save_map(self, path: str) -> None:
+        """Checkpoint the map (the reference's SaveMap TODO, System.h:90-92)."""
+        from manhattanslam_tpu.io.map_io import save_map
+
+        save_map(path, self.map)
+
+    def load_map(self, path: str) -> None:
+        """Restore a map checkpoint; tracking can continue / relocalize."""
+        from manhattanslam_tpu.io.map_io import load_map
+
+        load_map(path, self.map)
+        if self.tracker.reloc_module is not None:
+            # rebuild the place-recognition index
+            for kf in range(self.map.n_kf):
+                if self.map.kf_valid[kf]:
+                    self.tracker.reloc_module.add_keyframe(kf)
+        if hasattr(self.tracker, "refresh_view"):
+            self.tracker.refresh_view()
+
     # ------------------------------------------------------------ internals
     def _on_keyframe(self, kf_id: int, feats, feats_np: dict) -> None:
         if self.local_mapper is not None:
@@ -150,7 +195,14 @@ class System:
         if self.tracker.reloc_module is not None:
             self.tracker.reloc_module.add_keyframe(kf_id)
         if self.surfel_mapper is not None and self._last_gray is not None:
+            membership = None
+            gray, depth = self._last_gray, self._last_depth
+            if self.fast:
+                membership = self.tracker.kf_membership
+                if getattr(self.tracker, "pipeline", False) and self._prev_gray is not None:
+                    # pipelined: the keyframe is the PREVIOUS frame
+                    gray, depth = self._prev_gray, self._prev_depth
             self.surfel_mapper.insert_keyframe(
-                kf_id, self._last_gray, self._last_depth,
-                self.tracker.plane_module,
+                kf_id, gray, depth,
+                self.tracker.plane_module, plane_membership=membership,
             )
