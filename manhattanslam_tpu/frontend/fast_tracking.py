@@ -189,25 +189,22 @@ class FastTracker:
     kf_membership = None
 
     def _create_points_from_depth(self, feats_np, kf_id, existing, max_new=100):
+        """All close points + nearest far points up to max_new total
+        (CreateNewKeyFrame depth-sorted rule, Tracking.cc:1554-1580)."""
         cfg = self.cfg
         m = self.map
         depth = feats_np["depth"]
         valid = feats_np["valid"] & (depth > 0) & (existing < 0)
         close_th = cfg.th_depth_m
-        order = np.argsort(np.where(valid, depth, np.inf))
-        n_new = 0
-        chosen = []
-        for k in order:
-            if not valid[k]:
-                break
-            if depth[k] > close_th and n_new >= max_new:
-                break
-            chosen.append(k)
-            n_new += 1
+        idx_close = np.nonzero(valid & (depth <= close_th))[0]
+        chosen = idx_close
+        if len(idx_close) < max_new:
+            far = np.nonzero(valid & (depth > close_th))[0]
+            far = far[np.argsort(depth[far])][: max_new - len(idx_close)]
+            chosen = np.concatenate([idx_close, far])
         out = existing.copy()
-        if not chosen:
+        if len(chosen) == 0:
             return out
-        chosen = np.array(chosen)
         cam = cfg.camera
         d = depth[chosen]
         x = (feats_np["xy_und"][chosen, 0] - cam.cx) / cam.fx * d

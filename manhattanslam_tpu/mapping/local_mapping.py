@@ -16,6 +16,7 @@ inserted (System._on_keyframe):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,27 +48,31 @@ class LocalMapper:
         self.cull_map_planes(kf_id)
 
     # -------------------------------------------------------------- culling
-    def cull_map_points(self, cur_kf: int) -> None:
-        """MapPointCulling rules (LocalMapping.cc:227-263)."""
+    def _obs_counts(self) -> np.ndarray:
+        """Observations per map point (one bincount over kf_mp_idx)."""
         m = self.map
-        keep: list[tuple[int, int]] = []
-        to_erase = []
-        for mp, born in self.recent_points:
-            if not m.mp_valid[mp]:
-                continue
-            ratio = m.mp_found[mp] / max(m.mp_visible[mp], 1)
-            n_obs = int((m.kf_mp_idx[: m.n_kf] == mp).sum())
-            if ratio < 0.25:
-                to_erase.append(mp)
-            elif cur_kf - born >= 2 and n_obs <= 2:
-                to_erase.append(mp)
-            elif cur_kf - born >= 3:
-                pass  # graduated
-            else:
-                keep.append((mp, born))
-        self.recent_points = keep
-        if to_erase:
-            m.erase_points(np.array(to_erase))
+        flat = m.kf_mp_idx[: m.n_kf]
+        flat = flat[flat >= 0]
+        return np.bincount(flat, minlength=len(m.mp_valid))
+
+    def cull_map_points(self, cur_kf: int) -> None:
+        """MapPointCulling rules (LocalMapping.cc:227-263), vectorized."""
+        m = self.map
+        if not self.recent_points:
+            return
+        mps = np.array([p for p, _ in self.recent_points])
+        born = np.array([b for _, b in self.recent_points])
+        alive = m.mp_valid[mps]
+        obs = self._obs_counts()[mps]
+        ratio = m.mp_found[mps] / np.maximum(m.mp_visible[mps], 1)
+        erase = alive & ((ratio < 0.25) | ((cur_kf - born >= 2) & (obs <= 2)))
+        graduate = alive & ~erase & (cur_kf - born >= 3)
+        keep = alive & ~erase & ~graduate
+        self.recent_points = [
+            (int(p), int(b)) for p, b in zip(mps[keep], born[keep])
+        ]
+        if erase.any():
+            m.erase_points(mps[erase])
 
     def cull_map_planes(self, cur_kf: int) -> None:
         """MapPlaneCulling: planes with <3 observations 2 KFs after birth."""
@@ -107,7 +112,9 @@ class LocalMapper:
             return
         kp1 = self._kf_kp_view(kf_id, only_free=True)
         T1 = jnp.asarray(m.kf_pose[kf_id])
-        claimed = np.asarray(kp1["valid"]).copy()
+        # dispatch all neighbor pairs, then ONE batched pull (a per-neighbor
+        # sync costs a ~40 ms roundtrip on this backend)
+        jobs = []
         for nb in neighbors:
             # baseline check (LocalMapping.cc:354-372): skip tiny baselines
             baseline = np.linalg.norm(
@@ -117,16 +124,21 @@ class LocalMapper:
                 continue
             kp2 = self._kf_kp_view(int(nb), only_free=True)
             out = tri.triangulate_pair(
-                {**kp1, "valid": jnp.asarray(claimed)}, kp2,
-                T1, jnp.asarray(m.kf_pose[nb]),
+                kp1, kp2, T1, jnp.asarray(m.kf_pose[nb]),
                 self.K, jnp.float32(self.cfg.orb.scale_factor),
             )
-            ok = np.asarray(out["ok"])
+            jobs.append((int(nb), out))
+        if not jobs:
+            return
+        results = jax.device_get([o for _, o in jobs])
+        claimed = np.zeros(len(m.kf_mp_idx[kf_id]), bool)
+        for (nb, _), out in zip(jobs, results):
+            ok = out["ok"] & ~claimed
             if not ok.any():
                 continue
-            pos = np.asarray(out["pos_w"])[ok]
+            pos = out["pos_w"][ok]
             idx1 = np.nonzero(ok)[0]
-            idx2 = np.asarray(out["idx2"])[ok]
+            idx2 = out["idx2"][ok]
             free = (~m.mp_valid).sum()
             n_new = min(len(idx1), int(free))
             if n_new == 0:
@@ -147,7 +159,7 @@ class LocalMapper:
             m.kf_mp_idx[nb, idx2] = ids
             for mp in ids:
                 self.recent_points.append((int(mp), kf_id))
-            claimed[idx1] = False  # now matched; not free anymore
+            claimed[idx1] = True  # now matched; not free anymore
         m.update_covisibility(kf_id)
 
     # ------------------------------------------------------------- fusion
@@ -165,6 +177,7 @@ class LocalMapper:
         pos = jnp.asarray(m.mp_pos[my_ids])
         desc = jnp.asarray(m.mp_desc[my_ids])
         valid = jnp.asarray(m.mp_valid[my_ids])
+        jobs = []
         for nb in neighbors:
             feats = {
                 "xy": jnp.asarray(m.kf_xy[nb]),
@@ -172,33 +185,62 @@ class LocalMapper:
                 "valid": jnp.asarray(m.kf_kp_valid[nb]),
                 "level": jnp.asarray(m.kf_level[nb]),
             }
-            out = tri.fuse_candidates(
-                pos, desc, valid, jnp.asarray(m.kf_pose[nb]), feats, self.K,
-                jnp.float32(self.cfg.camera.height),
-                jnp.float32(self.cfg.camera.width),
+            jobs.append(
+                (
+                    int(nb),
+                    tri.fuse_candidates(
+                        pos, desc, valid, jnp.asarray(m.kf_pose[nb]), feats,
+                        self.K,
+                        jnp.float32(self.cfg.camera.height),
+                        jnp.float32(self.cfg.camera.width),
+                    ),
+                )
             )
-            ok = np.asarray(out["ok"])
-            kp_idx = np.asarray(out["kp_idx"])
+        if not jobs:
+            return
+        results = jax.device_get([o for _, o in jobs])
+        for (nb, _), out in zip(jobs, results):
+            ok = out["ok"]
+            kp_idx = out["kp_idx"]
+            if not ok.any():
+                continue
+            obs_counts = self._obs_counts()
             for i in np.nonzero(ok)[0]:
                 mp = int(my_ids[i])
                 kp = int(kp_idx[i])
                 existing = int(m.kf_mp_idx[nb, kp])
                 if existing < 0:
                     m.kf_mp_idx[nb, kp] = mp  # new observation
-                elif existing != mp and m.mp_valid[existing]:
+                elif existing != mp and m.mp_valid[existing] and m.mp_valid[mp]:
                     # duplicate: keep the landmark with more observations
-                    n_mp = int((m.kf_mp_idx[: m.n_kf] == mp).sum())
-                    n_ex = int((m.kf_mp_idx[: m.n_kf] == existing).sum())
-                    lose, win = (mp, existing) if n_ex >= n_mp else (existing, mp)
+                    lose, win = (
+                        (mp, existing)
+                        if obs_counts[existing] >= obs_counts[mp]
+                        else (existing, mp)
+                    )
                     m.kf_mp_idx[: m.n_kf][m.kf_mp_idx[: m.n_kf] == lose] = win
                     m.mp_valid[lose] = False
         m.update_covisibility(kf_id)
 
     # --------------------------------------------------------- KF culling
     def cull_keyframes(self, kf_id: int) -> None:
-        """KeyFrameCulling (LocalMapping.cc:704-758)."""
+        """KeyFrameCulling (LocalMapping.cc:704-758), vectorized via a
+        sorted observation table."""
         m = self.map
         close_th = self.cfg.th_depth_m
+        # global observation table: (kf, kp, mp, level), sorted by mp
+        obs_kf, obs_kp = np.nonzero(
+            (m.kf_mp_idx[: m.n_kf] >= 0) & m.kf_valid[: m.n_kf, None]
+        )
+        if len(obs_kf) == 0:
+            return
+        obs_mp = m.kf_mp_idx[obs_kf, obs_kp]
+        obs_lvl = m.kf_level[obs_kf, obs_kp]
+        order = np.argsort(obs_mp, kind="stable")
+        obs_kf, obs_mp, obs_lvl = obs_kf[order], obs_mp[order], obs_lvl[order]
+        starts = np.searchsorted(obs_mp, np.arange(len(m.mp_valid)))
+        ends = np.searchsorted(obs_mp, np.arange(len(m.mp_valid)), side="right")
+
         for kf in m.covisible_kfs(kf_id)[:20]:
             kf = int(kf)
             if kf == 0 or kf in m.kf_not_erase or not m.kf_valid[kf]:
@@ -207,20 +249,20 @@ class LocalMapper:
             kp_sel = (ids >= 0) & m.mp_valid[np.maximum(ids, 0)]
             depth = m.kf_depth[kf]
             kp_sel &= (depth > 0) & (depth < close_th)
-            total = int(kp_sel.sum())
+            kps = np.nonzero(kp_sel)[0]
+            total = len(kps)
             if total < 30:
                 continue
-            redundant = 0
             my_lvl = m.kf_level[kf]
-            for kp in np.nonzero(kp_sel)[0]:
+            redundant = 0
+            for kp in kps:
                 mp = ids[kp]
-                obs_kfs, obs_kps = np.nonzero(m.kf_mp_idx[: m.n_kf] == mp)
-                n_better = 0
-                for okf, okp in zip(obs_kfs, obs_kps):
-                    if okf == kf or not m.kf_valid[okf]:
-                        continue
-                    if m.kf_level[okf, okp] <= my_lvl[kp] + 1:
-                        n_better += 1
+                s, e = starts[mp], ends[mp]
+                seg_kf = obs_kf[s:e]
+                seg_lvl = obs_lvl[s:e]
+                n_better = int(
+                    ((seg_kf != kf) & (seg_lvl <= my_lvl[kp] + 1)).sum()
+                )
                 if n_better >= 3:
                     redundant += 1
             if redundant > 0.9 * total:

@@ -61,6 +61,13 @@ def fast_score_map(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(inb, score, 0.0)
 
 
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 @partial(jax.jit, static_argnames=("cell", "ini_th", "min_th"))
 def fast_corners(
     img: jnp.ndarray, cell: int = 30, ini_th: int = 20, min_th: int = 7
@@ -70,9 +77,18 @@ def fast_corners(
     A pixel survives if its score exceeds iniThFAST, or exceeds minThFAST in
     a cell where no pixel passed iniThFAST (ORBextractor.cc:763-769), and it
     is a 3x3 local maximum.  Returns the masked score map.
+
+    On TPU the dense response comes from the fused Pallas kernel
+    (ops/fast_pallas.py, bit-identical); the jnp formulation is the CPU /
+    reference path.
     """
     h, w = img.shape
-    score = fast_score_map(img)
+    if _use_pallas():
+        from manhattanslam_tpu.ops.fast_pallas import fast_score_map_pallas
+
+        score = fast_score_map_pallas(img)
+    else:
+        score = fast_score_map(img)
 
     # per-cell "any high-threshold corner?" map
     ch, cw = -(-h // cell), -(-w // cell)

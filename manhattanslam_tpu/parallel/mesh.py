@@ -88,6 +88,47 @@ def build_batched_track_step(cfg: SlamConfig, mesh: Mesh):
     return step
 
 
+def build_throughput_step(cfg: SlamConfig, batch: int):
+    """Batched multi-sequence replay of the FULL fused tracking step
+    (BASELINE config 5): vmap over `batch` independent sequence streams,
+    sharing one map view (localization/replay mode).
+
+    The per-frame device program is op-count-bound, not FLOP-bound, so
+    batching B sequences costs nearly the same wall time as one — the
+    throughput win is ~B-fold.
+
+    Returns step(gray (B,H,W), depth (B,H,W), carry (batched), view
+    (shared)) -> (batched result summary, batched carry).
+    """
+    from manhattanslam_tpu.frontend import device_tracker as dt
+
+    base = dt.build_frame_step(cfg)
+    inner = base.__wrapped__  # un-jitted
+
+    def one(gray, depth, carry, view):
+        result, new_carry = inner(gray, depth, carry, view)
+        keep = {
+            k: result[k]
+            for k in (
+                "T", "tracked_ok", "n_inliers", "n_matches",
+                "manhattan_found", "use_manhattan",
+            )
+        }
+        return keep, new_carry
+
+    batched = jax.vmap(one, in_axes=(0, 0, 0, None))
+    return jax.jit(batched)
+
+
+def init_batched_carry(batch: int):
+    from manhattanslam_tpu.frontend import device_tracker as dt
+
+    one = dt.init_carry()
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), one
+    )
+
+
 def sharded_hamming_argmin(desc_q: jnp.ndarray, desc_bank: jnp.ndarray, mesh: Mesh):
     """Model-parallel matcher: landmark descriptor bank sharded over the
     mesh ('lm' axis); per-query argmin combined with an encoded min

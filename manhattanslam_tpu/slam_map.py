@@ -202,14 +202,15 @@ class SlamMap:
     def update_covisibility(self, kf_id: int) -> None:
         """Shared-point counts vs all other keyframes (KeyFrame.cc:273)."""
         mine = self.kf_mp_idx[kf_id]
-        mine = set(mine[mine >= 0].tolist())
-        for j in range(self.n_kf):
-            if j == kf_id or not self.kf_valid[j]:
-                continue
-            other = self.kf_mp_idx[j]
-            w = len(mine.intersection(other[other >= 0].tolist()))
-            self.covis[kf_id, j] = w
-            self.covis[j, kf_id] = w
+        member = np.zeros(len(self.mp_valid), bool)
+        member[mine[mine >= 0]] = True
+        others = self.kf_mp_idx[: self.n_kf]
+        hit = member[np.maximum(others, 0)] & (others >= 0)
+        w = hit.sum(axis=1).astype(np.int32)
+        w[~self.kf_valid[: self.n_kf]] = 0
+        w[kf_id] = 0
+        self.covis[kf_id, : self.n_kf] = w
+        self.covis[: self.n_kf, kf_id] = w
 
     def covisible_kfs(self, kf_id: int, min_weight: int = 15) -> np.ndarray:
         w = self.covis[kf_id, : self.n_kf].copy()
