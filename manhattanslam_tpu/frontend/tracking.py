@@ -201,10 +201,48 @@ class Tracker:
             "level": jnp.asarray(m.mp_level[safe]),
         }
 
+    def _temporal_points(self) -> dict | None:
+        """Localization-mode temporal VO landmarks from the last frame's
+        depth (UpdateLastFrame, Tracking.cc:1052-1144): close unmatched
+        keypoints become throwaway landmarks for motion-model matching."""
+        if self.last_feats is None:
+            return None
+        f = {k: np.asarray(v) for k, v in self.last_feats.items()}
+        depth = f["depth"]
+        usable = f["valid"] & (depth > 0) & (self.last_mp_idx < 0)
+        order = np.argsort(np.where(usable, depth, np.inf))[:100]
+        order = order[usable[order]]
+        n_kp = self.cfg.caps.max_keypoints
+        pos = np.zeros((n_kp, 3), np.float32)
+        valid = np.zeros(n_kp, bool)
+        cam = self.cfg.camera
+        if len(order):
+            d = depth[order]
+            x = (f["xy_und"][order, 0] - cam.cx) / cam.fx * d
+            y = (f["xy_und"][order, 1] - cam.cy) / cam.fy * d
+            pc = np.stack([x, y, d], -1)
+            T_wc = np.linalg.inv(self.last_pose)
+            pos[: len(order)] = pc @ T_wc[:3, :3].T + T_wc[:3, 3]
+            valid[: len(order)] = True
+        desc = np.zeros((n_kp, 8), np.uint32)
+        desc[: len(order)] = f["desc"][order]
+        level = np.zeros(n_kp, np.int32)
+        level[: len(order)] = f["level"][order]
+        return {
+            "pos": jnp.asarray(pos),
+            "desc": jnp.asarray(desc),
+            "valid": jnp.asarray(valid),
+            "level": jnp.asarray(level),
+        }
+
     def _track_last_frame(
         self, feats, T_seed, radius: float, translation_only: bool = False
     ) -> dict:
         pts = self._pts_view_from_map_ids(self.last_mp_idx)
+        if self.only_tracking:
+            vo = self._temporal_points()
+            if vo is not None:
+                pts = {k: jnp.concatenate([pts[k], vo[k]]) for k in pts}
         plane_obs, line_obs = self._gather_structural()
         return tracking_ops.track_projection(
             pts, jnp.asarray(T_seed), feats, self.K, self.bf, self.params,

@@ -46,6 +46,7 @@ class LocalMapper:
         self.fuse_neighbors(kf_id)
         self.cull_keyframes(kf_id)
         self.cull_map_planes(kf_id)
+        self.cull_map_lines(kf_id)
 
     # -------------------------------------------------------------- culling
     def _obs_counts(self) -> np.ndarray:
@@ -84,6 +85,22 @@ class LocalMapper:
                 if n_kf_obs < 2:
                     m.pl_valid[pl] = False
                     m.kf_pl_idx[m.kf_pl_idx == pl] = -1
+
+    def cull_map_lines(self, cur_kf: int) -> None:
+        """MapLineCulling analog: lines unseen after their probation window
+        or with a poor found/visible ratio are dropped."""
+        m = self.map
+        ids = np.nonzero(m.ml_valid)[0]
+        if len(ids) == 0:
+            return
+        born = m.ml_first_kf[ids]
+        ratio = m.ml_found[ids] / np.maximum(m.ml_visible[ids], 1)
+        erase = ((cur_kf - born) >= 2) & (m.ml_n_obs[ids] < 2)
+        erase |= ratio < 0.1
+        if erase.any():
+            bad = ids[erase]
+            m.ml_valid[bad] = False
+            m.kf_ml_idx[np.isin(m.kf_ml_idx, bad)] = -1
 
     # -------------------------------------------------------- triangulation
     def _kf_kp_view(self, kf: int, only_free: bool) -> dict:
