@@ -304,12 +304,14 @@ def build_line_obs_device(det, assoc, view):
 
 
 # --------------------------------------------------------------- the step
-def build_frame_step(cfg: SlamConfig):
+def build_frame_step(cfg: SlamConfig, use_pallas: bool | None = None):
     """Returns step(gray, depth, carry, view) -> (result dict, new_carry).
 
     carry: {T_last (4,4), velocity (4,4), have_velocity ()} on device.
+    use_pallas=False forces the jnp FAST path (required under vmap: the
+    Pallas kernel's full-array block spec does not batch).
     """
-    extract = build_extractor(cfg)
+    extract = build_extractor(cfg, use_pallas)
     params = lm.default_params(cfg)
     K = jnp.asarray(cfg.camera.K)
     bf = jnp.float32(cfg.camera.bf)

@@ -51,6 +51,7 @@ def _extract_level(
     level_img: jnp.ndarray,
     n_out: int,
     cfg: SlamConfig,
+    use_pallas: bool | None = None,
 ) -> dict:
     """Extract n_out oriented+described keypoints from one pyramid level."""
     h0, w0 = level_img.shape
@@ -64,7 +65,8 @@ def _extract_level(
             "desc": jnp.zeros((n_out, 8), jnp.uint32),
         }
     score = fast_ops.fast_corners(
-        level_img, cell=30, ini_th=cfg.orb.ini_th_fast, min_th=cfg.orb.min_th_fast
+        level_img, cell=30, ini_th=cfg.orb.ini_th_fast,
+        min_th=cfg.orb.min_th_fast, use_pallas=use_pallas,
     )
     h, w = level_img.shape
     # keep-out border so the orientation/descriptor patch reads are valid
@@ -82,7 +84,7 @@ def _extract_level(
     return {"xy": xy, "response": resp, "valid": valid, "angle": angle, "desc": desc}
 
 
-def build_extractor(cfg: SlamConfig):
+def build_extractor(cfg: SlamConfig, use_pallas: bool | None = None):
     """Returns extract(gray, depth) -> frame-features pytree (jitted).
 
     gray: (H, W) float32 [0,255]; depth: (H, W) float32 meters (0 invalid).
@@ -99,7 +101,7 @@ def build_extractor(cfg: SlamConfig):
         levels = image_ops.build_pyramid(gray, n_levels, scale)
         parts = []
         for li in range(n_levels):
-            out = _extract_level(levels[li], budgets[li], cfg)
+            out = _extract_level(levels[li], budgets[li], cfg, use_pallas)
             s = float(scale**li)
             parts.append(
                 {

@@ -68,9 +68,10 @@ def _use_pallas() -> bool:
         return False
 
 
-@partial(jax.jit, static_argnames=("cell", "ini_th", "min_th"))
+@partial(jax.jit, static_argnames=("cell", "ini_th", "min_th", "use_pallas"))
 def fast_corners(
-    img: jnp.ndarray, cell: int = 30, ini_th: int = 20, min_th: int = 7
+    img: jnp.ndarray, cell: int = 30, ini_th: int = 20, min_th: int = 7,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Corner response map with the reference's per-cell fallback + NMS.
 
@@ -83,7 +84,9 @@ def fast_corners(
     reference path.
     """
     h, w = img.shape
-    if _use_pallas():
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    if use_pallas:
         from manhattanslam_tpu.ops.fast_pallas import fast_score_map_pallas
 
         score = fast_score_map_pallas(img)
