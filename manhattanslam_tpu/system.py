@@ -108,6 +108,12 @@ class System:
 
         Equivalent of System::Track (System.cc:115-149).
         """
+        expected = (self.cfg.camera.height, self.cfg.camera.width)
+        if rgb.shape[:2] != expected or depth.shape[:2] != expected:
+            raise ValueError(
+                f"frame shape mismatch: rgb {rgb.shape[:2]}, depth "
+                f"{depth.shape[:2]}, settings expect {expected}"
+            )
         gray = (
             rgb.astype(np.float32)
             if rgb.ndim == 2

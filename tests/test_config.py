@@ -60,3 +60,30 @@ def test_config_defaults_match_reference():
     assert cfg.plane.mf_vertical_threshold == 0.01
     assert cfg.surfel.distance_far == 30.0
     np.testing.assert_allclose(cfg.camera.K[0, 0], cfg.camera.fx)
+
+
+def test_shipped_configs_load():
+    import os
+
+    from manhattanslam_tpu.config import load_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    for name in ("TUM1", "TUM2", "TUM3", "ICL", "TAMU"):
+        cfg = load_config(os.path.join(root, name + ".yaml"))
+        assert cfg.camera.width == 640 and cfg.camera.height == 480
+        assert cfg.orb.n_features == 1000
+        assert cfg.plane.mf_vertical_threshold == 0.01
+
+
+def test_track_rejects_shape_mismatch(small_cfg):
+    import numpy as np
+    import pytest as _pytest
+
+    from manhattanslam_tpu.system import System
+
+    sys_ = System(small_cfg, enable_planes=False, enable_lines=False,
+                  enable_surfels=False)
+    with _pytest.raises(ValueError, match="shape mismatch"):
+        sys_.track(
+            np.zeros((10, 10), np.float32), np.ones((20, 20), np.float32), 0.0
+        )
