@@ -38,6 +38,10 @@ def main() -> int:
         "--modular", action="store_true",
         help="use the modular per-stage tracker instead of the fused fast path",
     )
+    ap.add_argument(
+        "--pipeline", action="store_true",
+        help="overlap device compute with result pulls (1-frame latency)",
+    )
     ap.add_argument("--out-prefix", default="")
     args = ap.parse_args()
 
@@ -85,6 +89,7 @@ def main() -> int:
         enable_lines=not args.no_lines,
         enable_surfels=not args.no_surfels,
         fast=not args.modular,
+        pipeline=args.pipeline and not args.modular,
     )
 
     print(f"Tracking {n_frames} frames ({cfg.camera.width}x{cfg.camera.height}) ...")
