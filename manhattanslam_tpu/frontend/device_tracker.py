@@ -336,14 +336,47 @@ def build_frame_step(cfg: SlamConfig, use_pallas: bool | None = None):
             carry["have_velocity"], carry["velocity"] @ carry["T_last"], carry["T_last"]
         )
 
+        # last-frame temporal landmarks from the device carry: the
+        # reference's TrackWithMotionModel matches against the previous
+        # frame's points (Tracking.cc:1243-1348) and, in localization mode,
+        # against temporal VO points (UpdateLastFrame :1052-1144).  Here the
+        # previous frame's keypoints with depth are back-projected with the
+        # previous pose and appended to the landmark bank.
+        T_last_wc = jnp.linalg.inv(carry["T_last"])
+        pd = carry["prev_depth"]
+        pxy = carry["prev_xy_und"]
+        vo_cam = jnp.stack(
+            [
+                (pxy[:, 0] - K[0, 2]) / K[0, 0] * pd,
+                (pxy[:, 1] - K[1, 2]) / K[1, 1] * pd,
+                pd,
+            ],
+            -1,
+        )
+        vo_pos = vo_cam @ T_last_wc[:3, :3].T + T_last_wc[:3, 3]
+        vo_valid = carry["prev_valid"] & (pd > 0) & carry["have_velocity"]
+        cam_prev = T_last_wc[:3, 3]
+        vo_dir = vo_pos - cam_prev[None]
+        vo_dist = jnp.linalg.norm(vo_dir, axis=-1).clip(1e-6)
+
         mp_view = {
-            "pos": view["mp_pos"],
-            "desc": view["mp_desc"],
-            "valid": view["mp_valid"],
-            "normal": view["mp_normal"],
-            "min_dist": view["mp_min"],
-            "max_dist": view["mp_max"],
+            "pos": jnp.concatenate([view["mp_pos"], vo_pos]),
+            "desc": jnp.concatenate([view["mp_desc"], carry["prev_desc"]]),
+            "valid": jnp.concatenate([view["mp_valid"], vo_valid]),
+            "normal": jnp.concatenate(
+                [view["mp_normal"], vo_dir / vo_dist[:, None]]
+            ),
+            "min_dist": jnp.concatenate(
+                [view["mp_min"], jnp.zeros_like(vo_dist)]
+            ),
+            "max_dist": jnp.concatenate(
+                [
+                    view["mp_max"],
+                    vo_dist * sf ** carry["prev_level"].astype(jnp.float32) * 2.0,
+                ]
+            ),
         }
+        n_map = view["mp_pos"].shape[0]
 
         def solve_proj(
             T0, radius, plane_obs, line_obs, translation_only=False,
@@ -427,8 +460,11 @@ def build_frame_step(cfg: SlamConfig, use_pallas: bool | None = None):
         tracked_ok = init_ok & (n_inl >= 30)
 
         # keyframe-policy quantities (device side); kp_mp maps keypoint ->
-        # matched map-point id (bank index == map id)
-        kp_mp = out_f["kp_mp"]
+        # matched map-point id.  Matches to the temporal VO block (bank
+        # index >= n_map) count as tracking inliers but are NOT map
+        # associations.
+        kp_mp_ext = out_f["kp_mp"]
+        kp_mp = jnp.where(kp_mp_ext >= n_map, -1, kp_mp_ext)
         close = feats["valid"] & (feats["depth"] > 0) & (feats["depth"] < close_th)
         kp_matched = kp_mp >= 0
         tracked_close = jnp.sum(close & kp_matched)
@@ -439,6 +475,12 @@ def build_frame_step(cfg: SlamConfig, use_pallas: bool | None = None):
             "T_last": jnp.where(tracked_ok, T_final, carry["T_last"]),
             "velocity": jnp.where(tracked_ok, new_velocity, carry["velocity"]),
             "have_velocity": tracked_ok,
+            # next frame's temporal landmarks
+            "prev_xy_und": feats["xy_und"],
+            "prev_depth": feats["depth"],
+            "prev_desc": feats["desc"],
+            "prev_level": feats["level"],
+            "prev_valid": feats["valid"] & tracked_ok,
         }
 
         result = {
@@ -455,8 +497,8 @@ def build_frame_step(cfg: SlamConfig, use_pallas: bool | None = None):
             "kp_mp": kp_mp,
             "kp_idx": out_f["kp_idx"],
             "pt_inlier": out_f["pt_inlier"],
-            "matched": out_f["matched"],
-            "visible": out_f["visible"],
+            "matched": out_f["matched"][:n_map],
+            "visible": out_f["visible"][:n_map],
             # plane/line frame state for keyframe insertion
             "plane_coeffs": planes["coeffs"],
             "plane_valid": planes["valid"],
@@ -480,12 +522,18 @@ def build_frame_step(cfg: SlamConfig, use_pallas: bool | None = None):
     return step
 
 
-def init_carry() -> dict:
+def init_carry(cfg: SlamConfig, T0: np.ndarray | None = None) -> dict:
+    n_kp = cfg.caps.max_keypoints
     return jax.device_put(
         {
-            "T_last": jnp.eye(4, dtype=jnp.float32),
+            "T_last": jnp.asarray(T0) if T0 is not None else jnp.eye(4, dtype=jnp.float32),
             "velocity": jnp.eye(4, dtype=jnp.float32),
             "have_velocity": jnp.array(False),
+            "prev_xy_und": jnp.zeros((n_kp, 2)),
+            "prev_depth": jnp.zeros(n_kp),
+            "prev_desc": jnp.zeros((n_kp, 8), jnp.uint32),
+            "prev_level": jnp.zeros(n_kp, jnp.int32),
+            "prev_valid": jnp.zeros(n_kp, bool),
         }
     )
 

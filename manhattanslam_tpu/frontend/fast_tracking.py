@@ -29,7 +29,7 @@ class FastTracker:
         self.cfg = cfg
         self.map = slam_map
         self.step = dt.build_frame_step(cfg)
-        self.carry = dt.init_carry()
+        self.carry = dt.init_carry(cfg)
         self.view = None  # device map view
         # pipeline=True: dispatch frame k before pulling frame k-1's summary,
         # hiding the ~40 ms host<->device sync latency behind device compute.
@@ -359,7 +359,7 @@ class FastTracker:
         self.ref_kf = kf_id
         self.last_kf_frame_id = self.frame_id
         self.state = OK
-        self.carry = dt.init_carry()
+        self.carry = dt.init_carry(self.cfg)
         self.kf_membership = result["plane_membership"]
         if self.on_keyframe is not None:
             self.on_keyframe(kf_id, result["feats"], feats_np)
@@ -377,13 +377,7 @@ class FastTracker:
         if T is None:
             return False
         self.T_cw = T.astype(np.float32)
-        self.carry = jax.device_put(
-            {
-                "T_last": jnp.asarray(self.T_cw),
-                "velocity": jnp.eye(4, dtype=jnp.float32),
-                "have_velocity": jnp.array(False),
-            }
-        )
+        self.carry = dt.init_carry(self.cfg, self.T_cw)
         self.n_inliers = 50
         return True
 

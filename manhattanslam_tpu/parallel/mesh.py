@@ -120,10 +120,10 @@ def build_throughput_step(cfg: SlamConfig, batch: int):
     return jax.jit(batched)
 
 
-def init_batched_carry(batch: int):
+def init_batched_carry(cfg: SlamConfig, batch: int):
     from manhattanslam_tpu.frontend import device_tracker as dt
 
-    one = dt.init_carry()
+    one = dt.init_carry(cfg)
     return jax.tree.map(
         lambda x: jnp.broadcast_to(x, (batch,) + x.shape), one
     )
