@@ -87,3 +87,22 @@ def test_fast_localization_mode(small_cfg):
         t, gray, depth = seq.frame(i)
         assert sys.track(gray, depth, t) is not None
     assert sys.map.n_kf == n_kf
+
+
+def test_fast_localization_beyond_map(small_cfg):
+    """Localization mode keeps tracking via temporal VO landmarks even when
+    the map only covers the start of the trajectory (UpdateLastFrame
+    capability in the fused step)."""
+    seq = SyntheticSequence(n_frames=16, cam=small_cfg.camera, view="corner")
+    sys = System(small_cfg, fast=True, enable_surfels=False)
+    # map only the first 2 frames, then freeze the map
+    for i in range(2):
+        t, gray, depth = seq.frame(i)
+        sys.track(gray, depth, t)
+    sys.activate_localization_mode()
+    ok = 0
+    for i in range(2, 16):
+        t, gray, depth = seq.frame(i)
+        ok += sys.track(gray, depth, t) is not None
+    assert ok >= 12  # tolerate at most 2 drops across the sweep
+    assert sys.map.n_kf <= 2  # no keyframes added in localization mode
