@@ -31,8 +31,10 @@ from manhattanslam_tpu.frontend import tracking_ops
 from manhattanslam_tpu.ops import lm, matching
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "seq") -> Mesh:
-    devs = jax.devices()
+def make_mesh(
+    n_devices: int | None = None, axis: str = "seq", devices=None
+) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
