@@ -101,7 +101,17 @@ class FastTracker:
         ok = bool(s["tracked_ok"])
         if not ok and self.state == OK:
             # one LOST grace attempt via relocalization
-            ok = self._relocalize(result)
+            if self._relocalize(result):
+                # _relocalize already set T_cw and reset the carry; the
+                # failed device track's pose/matches in `s` are garbage,
+                # so skip every s-derived update (pose, inliers, landmark
+                # stats, keyframe decision) for this frame.
+                self.state = OK
+                self.last_mp_idx = np.full(
+                    self.cfg.caps.max_keypoints, -1, np.int32
+                )
+                self._record(timestamp, lost=False)
+                return self.T_cw.copy()
         if not ok:
             self.state = LOST
             self._record(timestamp, lost=True)

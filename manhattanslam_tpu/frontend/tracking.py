@@ -54,6 +54,7 @@ class Tracker:
         self.velocity: np.ndarray | None = None
         self.frame_id = -1
         self.last_kf_frame_id = 0
+        self.last_reloc_frame_id = -(10**9)
         self.ref_kf = 0
         self.n_inliers = 0
 
@@ -101,6 +102,7 @@ class Tracker:
                 return False
             self.state = OK
             self.velocity = None
+            self.last_reloc_frame_id = self.frame_id
 
         T_seed = (
             self.velocity @ self.last_pose
@@ -154,7 +156,12 @@ class Tracker:
         # --- track local map ---
         out2, local_ids = self._track_local_map(feats, T)
         self.n_inliers = int(out2["n_pt_inliers"])
-        ok = self.n_inliers >= (30 if self.state == OK else 50)
+        # require 50 inliers while within max_frames of a relocalization
+        # (Tracking.cc TrackLocalMap reloc-recency rule), 30 otherwise
+        recently_relocalized = (
+            self.frame_id < self.last_reloc_frame_id + self.max_frames
+        )
+        ok = self.n_inliers >= (50 if recently_relocalized else 30)
         if not ok:
             self.state = LOST
             return False

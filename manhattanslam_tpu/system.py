@@ -43,6 +43,7 @@ class System:
         )
         self.map = SlamMap(self.cfg)
         self.fast = fast
+        self.pipeline = pipeline
         if fast:
             from manhattanslam_tpu.frontend.fast_tracking import FastTracker
 
@@ -141,7 +142,7 @@ class System:
         if self.fast:
             from manhattanslam_tpu.frontend.fast_tracking import FastTracker
 
-            tracker = FastTracker(self.cfg, self.map)
+            tracker = FastTracker(self.cfg, self.map, pipeline=self.pipeline)
         else:
             tracker = Tracker(self.cfg, self.map)
         tracker.plane_module = self.tracker.plane_module
@@ -149,12 +150,15 @@ class System:
         tracker.reloc_module = self.tracker.reloc_module
         if tracker.plane_module is not None:
             tracker.plane_module.map = self.map
+        if tracker.line_module is not None:
+            tracker.line_module.map = self.map
         if tracker.reloc_module is not None:
             tracker.reloc_module.reset(self.map)
         self.tracker = tracker
         self.tracker.on_keyframe = self._on_keyframe
         if self.local_mapper is not None:
             self.local_mapper.map = self.map
+            self.local_mapper.recent_points.clear()
         if self.surfel_mapper is not None:
             self.surfel_mapper.reset(self.map)
 

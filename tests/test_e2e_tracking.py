@@ -88,3 +88,45 @@ def test_reset(small_cfg):
     assert sys.map.n_kf == 0
     t, gray, depth = seq.frame(0)
     assert sys.track(gray, depth, t) is not None  # re-initializes
+
+
+def test_reset_with_all_modules(small_cfg):
+    """Reset must re-point line/plane/reloc modules and the local mapper at
+    the NEW map (Tracking::Reset, Tracking.cc:2057-2087); regression for the
+    stale line_module.map / stale recent_points bugs."""
+    seq = SyntheticSequence(n_frames=12, cam=small_cfg.camera)
+    sys = System(small_cfg, enable_planes=True, enable_lines=True,
+                 enable_surfels=False)
+    for i in range(4):
+        t, gray, depth = seq.frame(i)
+        sys.track(gray, depth, t)
+    sys.reset()
+    assert sys.map.n_kf == 0
+    assert sys.tracker.line_module.map is sys.map
+    assert sys.tracker.plane_module.map is sys.map
+    assert sys.local_mapper.map is sys.map
+    assert sys.local_mapper.recent_points == []
+    # track again: new landmarks must land in the NEW map
+    for i in range(4):
+        t, gray, depth = seq.frame(i)
+        T = sys.track(gray, depth, t)
+    assert T is not None
+    assert sys.map.n_kf >= 1
+    assert sys.map.mp_valid.sum() > 0
+
+
+def test_reset_fast_tracker(small_cfg):
+    """Reset with the fused tracker keeps the pipeline flag and re-inits."""
+    seq = SyntheticSequence(n_frames=12, cam=small_cfg.camera)
+    sys = System(small_cfg, enable_surfels=False, fast=True, pipeline=True)
+    for i in range(3):
+        t, gray, depth = seq.frame(i)
+        sys.track(gray, depth, t)
+    sys.reset()
+    assert sys.tracker.pipeline is True
+    assert sys.map.n_kf == 0
+    for i in range(4):
+        t, gray, depth = seq.frame(i)
+        sys.track(gray, depth, t)
+    sys.shutdown()  # flush the pipelined in-flight frame
+    assert sys.map.n_kf >= 1
