@@ -3,6 +3,13 @@
 Replaces cv::resize / cv::GaussianBlur / cv::Sobel used by the reference
 front end (ORBextractor.cc:872-893 pyramid; :850 blur before rBRIEF).
 Everything is fixed-shape and jit-friendly.
+
+TPU note: single-channel 2-D convolutions are a trap on the MXU — XLA
+pads the 1-element channel dims to the systolic tile, wasting >99% of the
+array (measured: a 7-tap separable blur at 640x480 cost ~7 ms as
+conv_general_dilated vs ~0.1 ms as shift+add).  So small stencils (blur,
+Sobel) are expressed as shifted adds on the VPU, and bilinear resize as
+two constant banded-matrix products on the MXU.
 """
 
 from __future__ import annotations
@@ -22,9 +29,34 @@ def pyramid_shapes(h: int, w: int, n_levels: int, scale: float) -> list[tuple[in
     ]
 
 
+def _resize_matrix_np(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) linear-interpolation operator with triangle
+    antialiasing — identical math to jax.image.resize(method="linear").
+
+    Sample mapping uses half-pixel centers: in = (out + 0.5)/scale - 0.5;
+    when downsampling the triangle kernel is widened by 1/scale.
+    """
+    scale = out_size / in_size
+    out_coords = (np.arange(out_size) + 0.5) / scale - 0.5  # (O,)
+    kscale = min(scale, 1.0)
+    k = np.arange(in_size)[None, :]  # (1, I)
+    x = (k - out_coords[:, None]) * kscale
+    w = np.maximum(0.0, 1.0 - np.abs(x))
+    w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+    return w.astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
 def resize_bilinear(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
-    """Bilinear resize (cv::INTER_LINEAR-like)."""
-    return jax.image.resize(img, out_hw, method="linear")
+    """Bilinear resize (jax.image.resize "linear"-equivalent) as two
+    constant matrix products: out = R_y @ img @ R_x^T (rides the MXU)."""
+    h, w = img.shape
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return img
+    ry = jnp.asarray(_resize_matrix_np(h, oh))
+    rx = jnp.asarray(_resize_matrix_np(w, ow))
+    return ry @ img @ rx.T
 
 
 def build_pyramid(img: jnp.ndarray, n_levels: int, scale: float) -> list[jnp.ndarray]:
@@ -45,38 +77,43 @@ def _gauss_kernel1d(ksize: int, sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
+def _conv1d_shifts(img: jnp.ndarray, k: np.ndarray, axis: int, pad_mode: str) -> jnp.ndarray:
+    """1-D stencil along `axis` as shifted adds (VPU-friendly)."""
+    r = len(k) // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    x = jnp.pad(img, pad, mode=pad_mode)
+    n = img.shape[axis]
+    out = None
+    for i, w in enumerate(k):
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(i, i + n)
+        term = float(w) * x[tuple(sl)]
+        out = term if out is None else out + term
+    return out
+
+
 @partial(jax.jit, static_argnames=("ksize", "sigma"))
 def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
     """Separable Gaussian with reflect padding (cv::BORDER_REFLECT_101-like)."""
-    k = jnp.asarray(_gauss_kernel1d(ksize, sigma))
-    r = ksize // 2
-    x = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
-    # vertical pass: conv along rows
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, :, None], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    x = jnp.pad(x, ((0, 0), (r, r)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, None, :], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    return x
+    k = _gauss_kernel1d(ksize, sigma)
+    x = _conv1d_shifts(img, k, axis=0, pad_mode="reflect")
+    return _conv1d_shifts(x, k, axis=1, pad_mode="reflect")
 
 
+@jax.jit
 def sobel(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """3x3 Sobel gradients (gx, gy)."""
-    kx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
-    ky = kx.T
-    p = jnp.pad(img, 1, mode="edge")
+    """3x3 Sobel gradients (gx, gy), edge-padded.
 
-    def conv(kern):
-        return jax.lax.conv_general_dilated(
-            p[None, None], kern[None, None], (1, 1), "VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )[0, 0]
-
-    return conv(kx), conv(ky)
+    Separable: sobel_x = [1,2,1]^T (smooth along y) x [-1,0,1] (diff along x).
+    """
+    smooth = np.array([1.0, 2.0, 1.0], np.float32)
+    diff = np.array([-1.0, 0.0, 1.0], np.float32)
+    sy = _conv1d_shifts(img, smooth, axis=0, pad_mode="edge")
+    gx = _conv1d_shifts(sy, diff, axis=1, pad_mode="edge")
+    sx = _conv1d_shifts(img, smooth, axis=1, pad_mode="edge")
+    gy = _conv1d_shifts(sx, diff, axis=0, pad_mode="edge")
+    return gx, gy
 
 
 def shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
@@ -92,7 +129,18 @@ def shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 
 
 def maxpool3x3(x: jnp.ndarray) -> jnp.ndarray:
-    """3x3 max filter (for non-maximum suppression)."""
-    return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
-    )
+    """3x3 max filter (for non-maximum suppression) via shifted maxes."""
+    out = x
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            h, w = x.shape
+            shifted = jnp.full_like(x, -jnp.inf)
+            ys0, ys1 = max(dy, 0), min(h + dy, h)
+            xs0, xs1 = max(dx, 0), min(w + dx, w)
+            shifted = shifted.at[ys0 - dy : ys1 - dy, xs0 - dx : xs1 - dx].set(
+                x[ys0:ys1, xs0:xs1]
+            )
+            out = jnp.maximum(out, shifted)
+    return out
