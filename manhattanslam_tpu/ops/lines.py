@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from manhattanslam_tpu.ops import eig33
 from manhattanslam_tpu.ops.image import sobel
 
 N_ANGLES = 120
@@ -306,8 +307,7 @@ def lift_lines_3d(
     mean = jnp.sum(pts * wgt[..., None], 1) / nw
     cen = (pts - mean[:, None, :]) * wgt[..., None]
     cov = jnp.einsum("lsi,lsj->lij", cen, cen) / nw[..., None]
-    evals, evecs = jnp.linalg.eigh(cov)
-    direction = evecs[..., 2]  # largest eigenvector
+    _, direction = eig33.eig33_largest(cov)
 
     t_proj = jnp.sum((pts - mean[:, None, :]) * direction[:, None, :], -1)
     t_proj = jnp.where(best_inl, t_proj, 0.0)

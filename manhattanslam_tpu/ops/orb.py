@@ -122,14 +122,36 @@ def ic_angle(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
 
     Reference IC_Angle (ORBextractor.cc:75-99): moments over the circular
     radius-15 patch; angle = atan2(m01, m10).
+
+    TPU-native formulation: instead of gathering 31x31 patches (N*961
+    scalar gathers — general gathers are the slowest op class on TPU), use
+    row prefix sums.  With P = cumsum_x(I) and Q = cumsum_x(x * I), the
+    circular row segment [x-u, x+u] of row y+dy contributes
+        S  = P[y+dy, x+u] - P[y+dy, x-u-1]            (zeroth moment)
+        M  = Q[y+dy, x+u] - Q[y+dy, x-u-1] - x * S    (first moment in x)
+    so each (keypoint, dy) needs only 4 gathered scalars — 8x fewer than
+    the patch formulation, with identical math.
     """
-    patches = gather_patches(img, xy, HALF_PATCH)  # (N, 31, 31)
-    mask = jnp.asarray(CIRC_MASK, jnp.float32)
-    ys = jnp.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=jnp.float32)[:, None]
-    xs = ys.T
-    pm = patches * mask
-    m10 = jnp.sum(pm * xs, axis=(1, 2))
-    m01 = jnp.sum(pm * ys, axis=(1, 2))
+    r = HALF_PATCH
+    h, w = img.shape
+    # clip like gather_patches did: keep the window fully inside the image
+    x0 = jnp.clip(xy[:, 0].astype(jnp.int32), r, w - r - 1)
+    y0 = jnp.clip(xy[:, 1].astype(jnp.int32), r, h - r - 1)
+
+    xs = jnp.arange(w, dtype=jnp.float32)
+    # exclusive prefix sums, padded so index 0 means "empty prefix"
+    P = jnp.pad(jnp.cumsum(img, axis=1), ((0, 0), (1, 0)))
+    Q = jnp.pad(jnp.cumsum(img * xs[None, :], axis=1), ((0, 0), (1, 0)))
+
+    dy = jnp.arange(-r, r + 1)  # (31,)
+    u = jnp.asarray(UMAX)[jnp.abs(dy)]  # (31,) per-row half-width
+    rows = y0[:, None] + dy[None, :]  # (N, 31)
+    hi = x0[:, None] + u[None, :] + 1  # prefix-sum upper index
+    lo = x0[:, None] - u[None, :]  # prefix-sum lower index
+    S = P[rows, hi] - P[rows, lo]  # (N, 31)
+    M = Q[rows, hi] - Q[rows, lo] - x0[:, None].astype(jnp.float32) * S
+    m10 = jnp.sum(M, axis=1)
+    m01 = jnp.sum(dy[None, :].astype(jnp.float32) * S, axis=1)
     return jnp.arctan2(m01, m10)
 
 

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from manhattanslam_tpu.ops import eig33
+
 BLOCK = 10  # AHCPlaneFitter windowWidth/Height
 
 
@@ -64,9 +66,8 @@ def block_stats(points: jnp.ndarray, block: int = BLOCK) -> dict:
     mean = s1 / n[:, None]
     cov = s2 / n[:, None, None] - mean[:, None, :] * mean[:, :, None]
 
-    evals, evecs = jnp.linalg.eigh(cov)  # ascending
-    normal = evecs[..., 0]
-    mse = jnp.clip(evals[..., 0], 0.0)
+    ev_small, normal = eig33.eig33_smallest(cov)
+    mse = jnp.clip(ev_small, 0.0)
     # orient towards the camera (point cloud is in front of the camera)
     flip = jnp.sum(normal * mean, -1) > 0
     normal = jnp.where(flip[:, None], -normal, normal)
@@ -381,8 +382,7 @@ def plane_stage2(
         nn = n.clip(1.0)
         mean = s1 / nn[:, None]
         cov = s2 / nn[:, None, None] - mean[:, None, :] * mean[:, :, None]
-        evals, evecs = jnp.linalg.eigh(cov)
-        nrm = evecs[..., 0]
+        _, nrm = eig33.eig33_smallest(cov)
         flip = jnp.sum(nrm * mean, -1) > 0
         nrm = jnp.where(flip[:, None], -nrm, nrm)
         d = -jnp.sum(nrm * mean, -1)

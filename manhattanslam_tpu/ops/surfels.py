@@ -24,6 +24,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from manhattanslam_tpu.ops import eig33
+
 SP_SIZE = 8
 SP_ITERS = 3
 MIN_SP_PIXELS = 16
@@ -127,11 +129,10 @@ def superpixels(
         -2,
     )  # (S, 3, 3)
     cov = s2 / n_pix[:, None, None].clip(1.0) - mean[:, None, :] * mean[:, :, None]
-    evals, evecs = jnp.linalg.eigh(cov)
-    normal = evecs[..., 0]
+    ev_small, normal = eig33.eig33_smallest(cov)
     flip = jnp.sum(normal * mean, -1) > 0  # orient toward camera
     normal = jnp.where(flip[:, None], -normal, normal)
-    mse = jnp.clip(evals[..., 0], 0.0)
+    mse = jnp.clip(ev_small, 0.0)
 
     z_mean = mean[:, 2]
     radius = SP_SIZE * 1.5 * z_mean / fx
