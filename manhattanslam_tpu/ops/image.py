@@ -46,6 +46,28 @@ def _resize_matrix_np(in_size: int, out_size: int) -> np.ndarray:
     return w.astype(np.float32)
 
 
+def avgpool2_matrix_np(in_size: int) -> np.ndarray:
+    """(in_size//2, in_size) constant operator for 2x2 box downsampling
+    (one axis); strided slicing lowers to scalar gathers on TPU, this
+    rides the MXU."""
+    out = in_size // 2
+    m = np.zeros((out, in_size), np.float32)
+    idx = np.arange(out)
+    m[idx, 2 * idx] = 0.5
+    m[idx, 2 * idx + 1] = 0.5
+    return m
+
+
+def stride_select_matrix_np(in_size: int, stride: int) -> np.ndarray:
+    """(ceil(in/stride), in) selection operator picking every stride-th
+    element (x[::stride] as a matmul)."""
+    out = -(-in_size // stride)
+    m = np.zeros((out, in_size), np.float32)
+    idx = np.arange(out)
+    m[idx, stride * idx] = 1.0
+    return m
+
+
 @partial(jax.jit, static_argnames=("out_hw",))
 def resize_bilinear(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     """Bilinear resize (jax.image.resize "linear"-equivalent) as two

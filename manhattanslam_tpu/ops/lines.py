@@ -50,12 +50,13 @@ def detect_lines(gray: jnp.ndarray, n_lines: int = 64) -> dict:
     """
     H0, W0 = gray.shape
     if min(H0, W0) >= 200:
-        small = 0.25 * (
-            gray[0 : H0 - 1 : 2, 0 : W0 - 1 : 2]
-            + gray[1:H0:2, 0 : W0 - 1 : 2]
-            + gray[0 : H0 - 1 : 2, 1:W0:2]
-            + gray[1:H0:2, 1:W0:2]
-        )
+        # 2x2 box downsample as two constant banded matmuls: strided slicing
+        # lowers to slow scalar gathers on TPU, matmuls ride the MXU
+        from manhattanslam_tpu.ops.image import avgpool2_matrix_np
+
+        ay = jnp.asarray(avgpool2_matrix_np(H0))
+        ax = jnp.asarray(avgpool2_matrix_np(W0))
+        small = ay @ gray @ ax.T
         out = _detect_lines_impl(small, n_lines)
         return {
             "sp": out["sp"] * 2.0,
@@ -140,22 +141,30 @@ def _detect_lines_impl(gray: jnp.ndarray, n_lines: int) -> dict:
             owner = owner.at[a_i * n_rho + r_i].set(line_order)
     pix_line = jnp.where(edge, owner[flat_bin], -1)  # (h, w)
 
-    # per-line moments via segment scatter-adds (refit removes the
-    # angle/rho quantization drift)
+    # per-line moments as ONE one-hot matmul on the MXU: 6 segment
+    # scatter-adds over H*W pixels cost ~4 ms as scatters; as a
+    # (L, HW) @ (HW, 6) product they cost microseconds.  The one-hot
+    # membership matrix is reused for the extent min/max below.
     L = n_lines
-    lab = jnp.maximum(pix_line, 0).ravel()
     wpix = jnp.where(pix_line >= 0, mag, 0.0).ravel()
     xf, yf = xs.ravel(), ys.ravel()
 
-    def seg_sum(vv):
-        return jnp.zeros(L).at[lab].add(vv)
-
-    wsum = seg_sum(wpix).clip(1e-6)
-    mx = seg_sum(wpix * xf) / wsum
-    my = seg_sum(wpix * yf) / wsum
-    cxx = seg_sum(wpix * xf * xf) / wsum - mx * mx
-    cxy = seg_sum(wpix * xf * yf) / wsum - mx * my
-    cyy = seg_sum(wpix * yf * yf) / wsum - my * my
+    member = pix_line.ravel()[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :]
+    cols = jnp.stack(
+        [wpix, wpix * xf, wpix * yf, wpix * xf * xf, wpix * xf * yf, wpix * yf * yf],
+        -1,
+    )  # (HW, 6)
+    sums = jax.lax.dot_general(
+        member.astype(jnp.float32), cols,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (L, 6)
+    wsum = sums[:, 0].clip(1e-6)
+    mx = sums[:, 1] / wsum
+    my = sums[:, 2] / wsum
+    cxx = sums[:, 3] / wsum - mx * mx
+    cxy = sums[:, 4] / wsum - mx * my
+    cyy = sums[:, 5] / wsum - my * my
     # principal eigenvector of [[cxx,cxy],[cxy,cyy]] (largest eigenvalue)
     tr = cxx + cyy
     det = cxx * cyy - cxy * cxy
@@ -173,16 +182,23 @@ def _detect_lines_impl(gray: jnp.ndarray, n_lines: int) -> dict:
     line_rho = mx * line_ca + my * line_sa
 
     # extent: segment min/max of the projection parameter along the refit
-    # direction, gated by distance to the refit line
+    # direction, gated by distance to the refit line.  Per-pixel line
+    # parameters come from a small (HW, L) @ (L, 5) matmul instead of
+    # table gathers; min/max reduce over the masked membership matrix.
     big = 1e9
-    dist_pix = jnp.abs(
-        xf * line_ca[lab] + yf * line_sa[lab] - line_rho[lab]
-    )
+    line_params = jnp.stack([line_ca, line_sa, line_rho, dirx, diry], -1)
+    pp = jax.lax.dot_general(
+        member.astype(jnp.float32), line_params,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (HW, 5): per-pixel params of its owning line (0 when unassigned)
+    dist_pix = jnp.abs(xf * pp[:, 0] + yf * pp[:, 1] - pp[:, 2])
     assigned = (pix_line.ravel() >= 0) & (dist_pix < 2.5)
-    t_pix = xf * dirx[lab] + yf * diry[lab]
-    tmin = jnp.full(L, big).at[lab].min(jnp.where(assigned, t_pix, big))
-    tmax = jnp.full(L, -big).at[lab].max(jnp.where(assigned, t_pix, -big))
-    n_support = jnp.zeros(L).at[lab].add(assigned.astype(jnp.float32))
+    t_pix = xf * pp[:, 3] + yf * pp[:, 4]
+    mship = member & assigned[:, None]  # (HW, L)
+    tmin = jnp.min(jnp.where(mship, t_pix[:, None], big), axis=0)
+    tmax = jnp.max(jnp.where(mship, t_pix[:, None], -big), axis=0)
+    n_support = jnp.sum(mship.astype(jnp.float32), axis=0)
 
     length = tmax - tmin
     density = n_support / jnp.maximum(length, 1.0)

@@ -34,8 +34,16 @@ BLOCK = 10  # AHCPlaneFitter windowWidth/Height
 
 @partial(jax.jit, static_argnames=("stride",))
 def depth_to_points(depth: jnp.ndarray, K: jnp.ndarray, stride: int = 2):
-    """Organized camera-frame cloud at 1/stride resolution. 0-depth -> nan z."""
-    d = depth[::stride, ::stride]
+    """Organized camera-frame cloud at 1/stride resolution. 0-depth -> nan z.
+
+    The stride-selection runs as two constant matmuls (strided slicing
+    lowers to slow scalar gathers on TPU)."""
+    from manhattanslam_tpu.ops.image import stride_select_matrix_np
+
+    H, W = depth.shape
+    sy = jnp.asarray(stride_select_matrix_np(H, stride))
+    sx = jnp.asarray(stride_select_matrix_np(W, stride))
+    d = sy @ depth @ sx.T
     h, w = d.shape
     ys = (jnp.arange(h, dtype=jnp.float32) * stride - K[1, 2]) / K[1, 1]
     xs = (jnp.arange(w, dtype=jnp.float32) * stride - K[0, 2]) / K[0, 0]
