@@ -403,9 +403,11 @@ def build_frame_step(cfg: SlamConfig, use_pallas: bool | None = None):
             "valid": (view["ref_mp"] >= 0)
             & view["mp_valid"][jnp.maximum(view["ref_mp"], 0)],
         }
+        # short LM schedule like the other candidates — the final solve
+        # below does the full polish
         out_c = tracking_ops.track_descriptors(
             ref_view, carry["T_last"], feats, view["ref_angle"], K, bf, params,
-            empty_planes, empty_lines,
+            empty_planes, empty_lines, n_rounds=2, n_iters=6,
         )
         ok_a = out_a["n_pt_inliers"] >= 10
         ok_b = out_b["n_pt_inliers"] >= 10

@@ -89,13 +89,16 @@ def exp_se3(xi):
 
 
 def make_T(R, t):
-    """Assemble (…,4,4) from (…,3,3) and (…,3)."""
+    """Assemble (…,4,4) from (…,3,3) and (…,3).
+
+    Built with concatenates — static .at[].set updates still lower to
+    scatters on TPU, and this runs inside every LM tangent evaluation."""
     batch = R.shape[:-2]
-    T = jnp.zeros(batch + (4, 4), R.dtype)
-    T = T.at[..., :3, :3].set(R)
-    T = T.at[..., :3, 3].set(t)
-    T = T.at[..., 3, 3].set(1.0)
-    return T
+    top = jnp.concatenate([R, t[..., None]], axis=-1)  # (..., 3, 4)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], R.dtype), batch + (1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
 
 
 def rot(T):

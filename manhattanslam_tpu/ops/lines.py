@@ -99,8 +99,11 @@ def _detect_lines_impl(gray: jnp.ndarray, n_lines: int) -> dict:
     # (classic gradient-guided Hough: 1 vote per edge pixel, not N_ANGLES)
     ga = jnp.mod(gangle, jnp.pi)
     abin = jnp.clip((ga / jnp.pi * N_ANGLES).astype(jnp.int32), 0, N_ANGLES - 1)
-    ca = jnp.cos(angles)[abin]
-    sa = jnp.sin(angles)[abin]
+    # per-pixel cos/sin of the quantized angle computed directly (a table
+    # gather per pixel costs ~0.6 ms; two transcendentals cost ~10 us)
+    abin_ang = abin.astype(jnp.float32) * (jnp.pi / N_ANGLES)
+    ca = jnp.cos(abin_ang)
+    sa = jnp.sin(abin_ang)
     rho = xs * ca + ys * sa
     rbin = jnp.clip(((rho + diag) / RHO_BIN).astype(jnp.int32), 0, n_rho - 1)
     flat_bin = abin * n_rho + rbin

@@ -250,7 +250,7 @@ def _family_chi2(r_mono, r_st, r_ln, r_pl, r_par, r_ver, prob, params):
     return chi_mono, chi_st, chi_ln, chi_pl, chi_par, chi_ver
 
 
-def _robust_weights(prob, params, masks, huber_on, T_cw, K, bf):
+def _robust_weights(prob, params, masks, huber_on, T_cw, K, bf, rs=None):
     """Per-edge sqrt-weights (info x Huber x mask), computed at T_cw.
 
     The weights are FROZEN for the linearization step (IRLS): g2o's robust
@@ -258,7 +258,8 @@ def _robust_weights(prob, params, masks, huber_on, T_cw, K, bf):
     weight is not differentiated through.
     """
     m_mono, m_st, m_ln, m_pl, m_par, m_ver = masks
-    rs = _residuals(T_cw, prob, K, bf)
+    if rs is None:
+        rs = _residuals(T_cw, prob, K, bf)
     chi = _family_chi2(*rs, prob, params)
 
     def hw(chi2, delta, mask):
@@ -279,11 +280,13 @@ def _robust_weights(prob, params, masks, huber_on, T_cw, K, bf):
     )
 
 
-def _weighted_flat(prob, params, masks, weights, T_cw, K, bf):
+def _weighted_flat(prob, params, masks, weights, T_cw, K, bf, rs=None):
     """Flat weighted residual vector with given (frozen) per-edge weights."""
     m_mono, m_st, m_ln, m_pl, m_par, m_ver = masks
     w_mono, w_st, w_ln, w_pl, w_par, w_ver = weights
-    r_mono, r_st, r_ln, r_pl, r_par, r_ver = _residuals(T_cw, prob, K, bf)
+    if rs is None:
+        rs = _residuals(T_cw, prob, K, bf)
+    r_mono, r_st, r_ln, r_pl, r_par, r_ver = rs
 
     sqrt_pl = jnp.sqrt(
         jnp.stack([params.angle_info, params.angle_info, params.dis_info])
@@ -335,16 +338,23 @@ def solve_pose(
     def run_round(T, masks, huber_on):
         def lm_iter(carry, _):
             T, lam = carry
-            # IRLS: freeze robust weights at the current estimate
-            w = _robust_weights(prob, params, masks, huber_on, T, K, bf)
+            # ONE primal residual evaluation shared by the IRLS weights and
+            # the weighted residual vector (the residual stack is evaluated
+            # ~70 times per frame across the LM schedules — primal sharing
+            # matters)
+            rs = _residuals(T, prob, K, bf)
+            w = _robust_weights(prob, params, masks, huber_on, T, K, bf, rs=rs)
 
             def flat_at(T_):
                 return _weighted_flat(prob, params, masks, w, T_, K, bf)
 
-            r0 = flat_at(T)
-            J = jax.jacfwd(lambda xi: flat_at(retract(T, xi)))(
-                jnp.zeros((dof,), T.dtype)
-            )  # (R, dof)
+            r0 = _weighted_flat(prob, params, masks, w, T, K, bf, rs=rs)
+            # linearize shares the primal pass; the 6 basis tangents are
+            # linear-cost (vs jacfwd re-deriving the primal we already have)
+            _, jvp_fn = jax.linearize(
+                lambda xi: flat_at(retract(T, xi)), jnp.zeros((dof,), T.dtype)
+            )
+            J = jax.vmap(jvp_fn)(jnp.eye(dof, dtype=T.dtype)).T  # (R, dof)
             H = J.T @ J
             g = J.T @ r0
             step = -jnp.linalg.solve(H + lam * jnp.eye(dof, dtype=T.dtype), g)
