@@ -33,26 +33,30 @@ def main() -> int:
             k1=0, k2=0, p1=0, p2=0, k3=0, width=W, height=H, bf=40.0,
         )
     )
-    n_warm = 4
-    n_timed = 28
+    chunk = 8
+    n_warm = 1 + chunk  # init frame + one full chunk (compiles both paths)
+    n_timed = 6 * chunk
     seq = SyntheticSequence(n_frames=n_warm + n_timed, cam=cfg.camera,
                             view="corner")
     frames = [seq.frame(i) for i in range(len(seq))]
 
-    slam = System(cfg, fast=True, pipeline=True, enable_surfels=False)
+    slam = System(cfg, fast=True, pipeline=True, chunk=chunk,
+                  enable_surfels=False)
     for i in range(n_warm):  # compiles (persistent cache in .jax_cache)
         t, gray, depth = frames[i]
         slam.track(gray, depth, t)
+    slam.tracker.flush()
+    n0 = sum(not r.lost for r in slam.tracker.records)
 
-    n_ok = 0
     t0 = time.perf_counter()
     for i in range(n_warm, n_warm + n_timed):
         t, gray, depth = frames[i]
-        n_ok += slam.track(gray, depth, t) is not None
-    if slam.tracker.flush() is not None:
-        n_ok += 1
+        slam.track(gray, depth, t)
+    slam.tracker.flush()
     dt_s = time.perf_counter() - t0
 
+    n_ok = sum(not r.lost for r in slam.tracker.records) - n0
+    assert n_ok >= 0.9 * n_timed, f"only {n_ok}/{n_timed} frames tracked"
     fps = n_timed / dt_s
     print(
         json.dumps(

@@ -38,47 +38,61 @@ from manhattanslam_tpu.ops import planes as plane_ops
 
 
 # ---------------------------------------------------------------- map view
-def build_map_view(cfg: SlamConfig, slam_map, reg2=None, reg3=None) -> dict:
-    """Upload the tracking-relevant map state as one device pytree."""
+def build_host_view(
+    cfg: SlamConfig, slam_map, reg2=None, reg3=None, ref_kf: int = 0
+) -> dict:
+    """The tracking-relevant map state as one HOST pytree of array copies
+    (the copy freezes a snapshot: SlamMap mutates its arrays in place,
+    and the snapshot doubles as the shadow for incremental diffs)."""
     m = slam_map
     c = cfg.caps
-    view = {
+    return {
         # landmarks (identity mapping: view index == map point id)
-        "mp_pos": m.mp_pos,
-        "mp_desc": m.mp_desc,
-        "mp_valid": m.mp_valid,
-        "mp_normal": m.mp_normal,
-        "mp_min": m.mp_min_dist,
+        "mp_pos": m.mp_pos.copy(),
+        "mp_desc": m.mp_desc.copy(),
+        "mp_valid": m.mp_valid.copy(),
+        "mp_normal": m.mp_normal.copy(),
+        "mp_min": m.mp_min_dist.copy(),
         "mp_max": np.maximum(m.mp_max_dist, 1e-6),
-        "mp_level": m.mp_level,
+        "mp_level": m.mp_level.copy(),
         # planes
-        "pl_coeffs": m.pl_coeffs,
-        "pl_pts": m.pl_pts,
-        "pl_npts": m.pl_n_pts,
-        "pl_valid": m.pl_valid,
+        "pl_coeffs": m.pl_coeffs.copy(),
+        "pl_pts": m.pl_pts.copy(),
+        "pl_npts": m.pl_n_pts.copy(),
+        "pl_valid": m.pl_valid.copy(),
         # lines
-        "ml_sp": m.ml_sp,
-        "ml_ep": m.ml_ep,
-        "ml_desc": m.ml_desc[:, : line_ops.DESC_DIM],
-        "ml_valid": m.ml_valid,
+        "ml_sp": m.ml_sp.copy(),
+        "ml_ep": m.ml_ep.copy(),
+        "ml_desc": m.ml_desc[:, : line_ops.DESC_DIM].copy(),
+        "ml_valid": m.ml_valid.copy(),
         # keyframe plane observations + poses (for Manhattan MFm)
-        "kf_pl_idx": m.kf_pl_idx,
-        "kf_plane_coeffs": m.kf_plane_coeffs,
-        "kf_plane_npts": m.kf_plane_npts,
-        "kf_pose": m.kf_pose,
+        "kf_pl_idx": m.kf_pl_idx.copy(),
+        "kf_plane_coeffs": m.kf_plane_coeffs.copy(),
+        "kf_plane_npts": m.kf_plane_npts.copy(),
+        "kf_pose": m.kf_pose.copy(),
         # ref-KF landmark view (descriptor fallback tracker)
-        "ref_desc": m.kf_desc[0] * 0,  # placeholder, set below
-        "ref_angle": m.kf_angle[0] * 0.0,
-        "ref_mp": np.full(c.max_keypoints, -1, np.int32),
+        "ref_desc": m.kf_desc[ref_kf].copy(),
+        "ref_angle": m.kf_angle[ref_kf].copy(),
+        "ref_mp": m.kf_mp_idx[ref_kf].copy(),
         # Manhattan registries as dense id matrices
-        "reg2": reg2 if reg2 is not None else np.full(
-            (c.max_map_planes, c.max_map_planes), -1, np.int32
+        "reg2": (
+            reg2.copy() if reg2 is not None
+            else np.full((c.max_map_planes, c.max_map_planes), -1, np.int32)
         ),
-        "reg3": reg3 if reg3 is not None else np.full(
-            (c.max_map_planes,) * 3, -1, np.int32
+        "reg3": (
+            reg3.copy() if reg3 is not None
+            else np.full((c.max_map_planes,) * 3, -1, np.int32)
         ),
     }
-    return jax.device_put(view)
+
+
+def build_map_view(cfg: SlamConfig, slam_map, reg2=None, reg3=None) -> dict:
+    """Upload the tracking-relevant map state as one device pytree."""
+    host = build_host_view(cfg, slam_map, reg2, reg3, ref_kf=0)
+    host["ref_desc"] = host["ref_desc"] * 0
+    host["ref_angle"] = host["ref_angle"] * 0.0
+    host["ref_mp"] = np.full_like(host["ref_mp"], -1)
+    return jax.device_put(host)
 
 
 def set_ref_kf(view: dict, slam_map, ref_kf: int) -> dict:
@@ -93,6 +107,64 @@ def set_ref_kf(view: dict, slam_map, ref_kf: int) -> dict:
     )
     view.update(upd)
     return view
+
+
+# ------------------------------------------------- incremental view updates
+# A keyframe event touches a handful of rows (<=100 new points, 1-3 merged
+# plane clouds, a few registry entries, the new ref-KF banks).  Re-uploading
+# the full view costs ~5 MB over the host link; diffing the host snapshot
+# and scattering only changed rows costs ~100 KB.
+_VIEW_FULL_KEYS = ("ref_desc", "ref_angle", "ref_mp")  # replaced wholesale
+
+
+def diff_host_views(shadow: dict, host: dict):
+    """Row-level diff of two host views -> (rows, full) update dicts.
+
+    rows: {key: (idx (K,), vals (K, ...))} with K padded to a power of two
+    (bounds jit retraces of apply_view_update); full: {key: array}.
+    """
+    rows: dict = {}
+    full: dict = {}
+    for k, new in host.items():
+        old = shadow[k]
+        if k in _VIEW_FULL_KEYS:
+            if not np.array_equal(old, new):
+                full[k] = new
+            continue
+        n = new.shape[0]
+        changed = np.nonzero(
+            (old.reshape(n, -1) != new.reshape(n, -1)).any(axis=1)
+        )[0]
+        if len(changed) == 0:
+            continue
+        if len(changed) > n // 2:
+            full[k] = new
+            continue
+        cap = 1
+        while cap < len(changed):
+            cap *= 2
+        idx = np.full(cap, changed[-1], changed.dtype)
+        idx[: len(changed)] = changed
+        rows[k] = (idx.astype(np.int32), new[idx])
+    return rows, full
+
+
+def apply_view_update(view: dict, rows: dict, full: dict) -> dict:
+    """Scatter the row updates / replace full keys on device (donated
+    buffers: the old view storage is reused in place)."""
+    if not rows and not full:
+        return view
+    return _apply_view_update(view, rows, full)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _apply_view_update(view, rows, full):
+    out = dict(view)
+    for k, (idx, vals) in rows.items():
+        out[k] = out[k].at[idx].set(vals)
+    for k, v in full.items():
+        out[k] = v
+    return out
 
 
 # ----------------------------------------------------- device manhattan
@@ -303,13 +375,44 @@ def build_line_obs_device(det, assoc, view):
     )
 
 
-# --------------------------------------------------------------- the step
-def build_frame_step(cfg: SlamConfig, use_pallas: bool | None = None):
-    """Returns step(gray, depth, carry, view) -> (result dict, new_carry).
+# ------------------------------------------------------------ frame packing
+# The tunnel/PCIe upload is the steady-state frame cost, so frames cross
+# host->device in their dataset-native dtypes (TUM ships 8-bit gray PNGs and
+# 16-bit depth PNGs, README.md:70-97): one (H, 3W) uint8 buffer per frame =
+# 0.9 MB at 640x480 instead of 2.4 MB of float32.
+DEPTH_QUANT = 5000.0  # 0.2 mm steps, 13.1 m range (TUM DepthMapFactor)
 
-    carry: {T_last (4,4), velocity (4,4), have_velocity ()} on device.
-    use_pallas=False forces the jnp FAST path (required under vmap: the
-    Pallas kernel's full-array block spec does not batch).
+
+def pack_frame(gray: np.ndarray, depth: np.ndarray) -> np.ndarray:
+    """Host-side: gray (H,W) float/uint8 + depth (H,W) float32 meters
+    -> one (H, 3W) uint8 upload buffer [gray | depth lo/hi bytes]."""
+    if gray.dtype != np.uint8:
+        gray = np.clip(np.round(gray), 0, 255).astype(np.uint8)
+    d16 = np.clip(np.round(depth * DEPTH_QUANT), 0, 65535).astype(np.uint16)
+    h = gray.shape[0]
+    return np.concatenate(
+        [gray, d16.view(np.uint8).reshape(h, -1)], axis=1
+    )
+
+
+def unpack_frame(packed: jnp.ndarray, w: int):
+    """Device-side inverse of pack_frame -> (gray f32, depth f32 meters)."""
+    gray = packed[:, :w].astype(jnp.float32)
+    db = packed[:, w:].reshape(packed.shape[0], w, 2).astype(jnp.uint16)
+    d16 = db[..., 0] | (db[..., 1] << 8)  # little-endian (numpy .view order)
+    depth = d16.astype(jnp.float32) * jnp.float32(1.0 / DEPTH_QUANT)
+    return gray, depth
+
+
+# --------------------------------------------------------------- the step
+def build_frame_body(cfg: SlamConfig, use_pallas: bool | None = None):
+    """Returns the UNJITTED body(gray, depth, carry, view) -> (result,
+    new_carry).  build_frame_step / build_chunk_step / the batched replay
+    wrap this in jit / lax.scan / vmap.
+
+    carry: {T_last (4,4), velocity (4,4), have_velocity (), prev_* banks}
+    on device.  use_pallas=False forces the jnp FAST path (required under
+    vmap: the Pallas kernel's full-array block spec does not batch).
     """
     extract = build_extractor(cfg, use_pallas)
     params = lm.default_params(cfg)
@@ -329,7 +432,6 @@ def build_frame_step(cfg: SlamConfig, use_pallas: bool | None = None):
     empty_planes = tracking_ops.empty_plane_obs(P)
     empty_lines = tracking_ops.empty_line_obs(cfg.caps.max_lines)
 
-    @jax.jit
     def step(gray, depth, carry, view):
         feats = extract(gray, depth)
         T_seed = jnp.where(
@@ -522,6 +624,49 @@ def build_frame_step(cfg: SlamConfig, use_pallas: bool | None = None):
         return result, new_carry
 
     return step
+
+
+def build_frame_step(cfg: SlamConfig, use_pallas: bool | None = None):
+    """Returns jitted step(packed (H,3W) u8, carry, view) -> (result,
+    new_carry) — one fused device program per frame."""
+    body = build_frame_body(cfg, use_pallas)
+    w = cfg.camera.width
+
+    @jax.jit
+    def step(packed, carry, view):
+        gray, depth = unpack_frame(packed, w)
+        return body(gray, depth, carry, view)
+
+    return step
+
+
+def build_chunk_step(cfg: SlamConfig, use_pallas: bool | None = None):
+    """Returns jitted chunk(packed (C,H,3W) u8, carry, view) ->
+    (stacked results (C leading axis), final carry).
+
+    lax.scan of the frame body over C frames: ONE upload + ONE dispatch +
+    ONE summary pull per chunk instead of per frame, amortizing the
+    host<->device roundtrip latency C-fold.  The map view is fixed for the
+    chunk; intra-chunk tracking stays anchored through the temporal
+    VO landmarks in the carry (the reference's TrackWithMotionModel
+    matches the previous frame the same way, Tracking.cc:1243-1348), and
+    keyframe machinery runs at chunk boundaries — the same latency class
+    as the reference's asynchronous LocalMapping thread.
+    """
+    body = build_frame_body(cfg, use_pallas)
+    w = cfg.camera.width
+
+    @jax.jit
+    def chunk(packed, carry, view):
+        def scan_body(c, frame):
+            gray, depth = unpack_frame(frame, w)
+            result, c2 = body(gray, depth, c, view)
+            return c2, result
+
+        carry2, results = jax.lax.scan(scan_body, carry, packed)
+        return results, carry2
+
+    return chunk
 
 
 def init_carry(cfg: SlamConfig, T0: np.ndarray | None = None) -> dict:

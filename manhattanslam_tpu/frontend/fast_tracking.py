@@ -25,18 +25,36 @@ from manhattanslam_tpu.slam_map import SlamMap
 
 
 class FastTracker:
-    def __init__(self, cfg: SlamConfig, slam_map: SlamMap, pipeline: bool = False):
+    def __init__(
+        self,
+        cfg: SlamConfig,
+        slam_map: SlamMap,
+        pipeline: bool = False,
+        chunk: int = 1,
+    ):
         self.cfg = cfg
         self.map = slam_map
-        self.step = dt.build_frame_step(cfg)
+        self.chunk = max(1, int(chunk))
+        # chunk>1: C frames ride one upload + one lax.scan dispatch + one
+        # summary pull (build_chunk_step), amortizing the host<->device
+        # roundtrip latency C-fold; keyframe machinery runs at chunk
+        # boundaries.  chunk=1: one fused dispatch per frame.
+        if self.chunk > 1:
+            self.step = None
+            self.chunk_step = dt.build_chunk_step(cfg)
+        else:
+            self.step = dt.build_frame_step(cfg)
+            self.chunk_step = None
         self.carry = dt.init_carry(cfg)
         self.view = None  # device map view
-        # pipeline=True: dispatch frame k before pulling frame k-1's summary,
-        # hiding the ~40 ms host<->device sync latency behind device compute.
-        # track() then returns the pose of the PREVIOUS frame (one-frame
-        # latency, like the reference's asynchronous mapping thread).
+        # pipeline=True: dispatch frame/chunk k before pulling k-1's
+        # summary, hiding the host<->device sync latency behind device
+        # compute.  track() then returns the pose of the PREVIOUS
+        # frame/chunk (one-chunk latency, like the reference's
+        # asynchronous mapping thread).
         self.pipeline = pipeline
-        self._pending = None  # (timestamp, device result) awaiting summary
+        self._pending = None  # (meta, device result) awaiting summary
+        self._buf = []  # chunk mode: buffered (ts, fid, packed, gray, depth)
 
         self.state = NOT_INITIALIZED
         self.only_tracking = False
@@ -65,15 +83,21 @@ class FastTracker:
     # ------------------------------------------------------------------ API
     def track(self, timestamp: float, gray: np.ndarray, depth: np.ndarray):
         self.frame_id += 1
-        gd = jnp.asarray(np.stack([gray, depth]))  # one upload
-        gray_d, depth_d = gd[0], gd[1]
+        packed = dt.pack_frame(gray, depth)
 
         if self.state == NOT_INITIALIZED:
-            self._initialize(timestamp, gray_d, depth_d, gray, depth)
+            self._initialize(timestamp, packed)
             self._record(timestamp, lost=False)
             return self.T_cw.copy()
 
-        result, new_carry = self.step(gray_d, depth_d, self.carry, self.view)
+        if self.chunk > 1:
+            self._buf.append((timestamp, self.frame_id, packed, gray, depth))
+            if len(self._buf) < self.chunk:
+                return None
+            return self._dispatch_chunk()
+
+        pd = jnp.asarray(packed)  # one upload
+        result, new_carry = self.step(pd, self.carry, self.view)
         self.last_result = result
         # carry updates are tracked_ok-gated on device, so adopting the new
         # carry before reading the summary is safe
@@ -88,20 +112,74 @@ class FastTracker:
         return self._finish_frame(timestamp, result)
 
     def flush(self):
-        """Finish the in-flight frame (pipeline mode)."""
+        """Finish in-flight work (pipeline and/or chunk mode)."""
+        out = None
         if self._pending is not None:
-            ts, result = self._pending
-            self._pending = None
-            return self._finish_frame(ts, result)
-        return None
+            pend, self._pending = self._pending, None
+            if self.chunk > 1:
+                out = self._process_chunk(*pend)
+            else:
+                out = self._finish_frame(*pend)
+        if self._buf:
+            # pad the partial chunk by repeating the last frame; only the
+            # real frames' summaries are processed (the padded frames
+            # advance the device carry with a zero-motion repeat, which is
+            # harmless at a flush boundary)
+            metas = list(self._buf)
+            self._buf = []
+            n_real = len(metas)
+            packed = np.stack(
+                [m[2] for m in metas]
+                + [metas[-1][2]] * (self.chunk - n_real)
+            )
+            results, new_carry = self.chunk_step(
+                jnp.asarray(packed), self.carry, self.view
+            )
+            self.carry = new_carry
+            self.last_result = results
+            out2 = self._process_chunk(metas, results)
+            out = out2 if out2 is not None else out
+        return out
 
-    def _finish_frame(self, timestamp: float, result) -> np.ndarray | None:
-        s = dt.pull_summary(result)  # single transfer
+    # ------------------------------------------------------------ chunk mode
+    def _dispatch_chunk(self):
+        metas = self._buf
+        self._buf = []
+        packed = jnp.asarray(np.stack([m[2] for m in metas]))
+        results, new_carry = self.chunk_step(packed, self.carry, self.view)
+        self.carry = new_carry
+        self.last_result = results
+        if self.pipeline:
+            out = None
+            if self._pending is not None:
+                out = self._process_chunk(*self._pending)
+            self._pending = (metas, results)
+            return out
+        return self._process_chunk(metas, results)
+
+    def _process_chunk(self, metas, results):
+        s_all = dt.pull_summary(results)  # ONE transfer for all C frames
+        out = None
+        for i, (ts, fid, _packed, gray, depth) in enumerate(metas):
+            s = {k: np.asarray(v[i]) for k, v in s_all.items()}
+            pose = self._finish_frame(ts, results, s=s, idx=i, frame_id=fid,
+                                      gray=gray, depth=depth)
+            out = pose if pose is not None else out
+        return out
+
+    def _finish_frame(
+        self, timestamp: float, result, s=None, idx=None, frame_id=None,
+        gray=None, depth=None,
+    ) -> np.ndarray | None:
+        if s is None:
+            s = dt.pull_summary(result)  # single transfer
+        if frame_id is None:
+            frame_id = self.frame_id
 
         ok = bool(s["tracked_ok"])
         if not ok and self.state == OK:
             # one LOST grace attempt via relocalization
-            if self._relocalize(result):
+            if self._relocalize(result, idx=idx):
                 # _relocalize already set T_cw and reset the carry; the
                 # failed device track's pose/matches in `s` are garbage,
                 # so skip every s-derived update (pose, inliers, landmark
@@ -129,13 +207,16 @@ class FastTracker:
         m.mp_visible[vis] += 1
         m.mp_found[s["matched"] & vis & s["visible"]] += 1
 
-        if not self.only_tracking and self._need_new_keyframe(s):
-            self._create_keyframe(timestamp, result, s, None, None)
+        if not self.only_tracking and self._need_new_keyframe(s, frame_id):
+            self._create_keyframe(timestamp, result, s, frame_id, idx=idx,
+                                  gray=gray, depth=depth)
         self._record(timestamp, lost=False)
         return self.T_cw.copy()
 
     # ------------------------------------------------------------- keyframe
-    def _need_new_keyframe(self, s: dict) -> bool:
+    def _need_new_keyframe(self, s: dict, frame_id: int | None = None) -> bool:
+        if frame_id is None:
+            frame_id = self.frame_id
         m = self.map
         if m.n_kf >= self.cfg.caps.max_keyframes - 1:
             return False
@@ -145,7 +226,7 @@ class FastTracker:
         tracked_close = int(s["tracked_close"])
         nontracked_close = int(s["nontracked_close"])
         need_close = tracked_close < 100 and nontracked_close > 70
-        frames_since = self.frame_id - self.last_kf_frame_id
+        frames_since = frame_id - self.last_kf_frame_id
         c1 = (
             frames_since >= self.max_frames
             or frames_since >= 0
@@ -157,27 +238,27 @@ class FastTracker:
         ) and self.n_inliers > 15
         return (c1 and c2) or bool(s["new_plane"])
 
-    def _create_keyframe(self, timestamp, result, s, gray, depth) -> None:
+    _PAYLOAD_KEYS = (
+        "feats", "plane_coeffs", "plane_valid", "plane_support",
+        "plane_cloud", "plane_npts", "line_sp3", "line_ep3", "line_has3d",
+        "line_valid", "line_desc", "line_assoc",
+    )
+
+    def _pull_payload(self, result, idx=None) -> dict:
+        """Keyframe payload in one transfer (chunk mode: slice frame idx
+        on device first, so only that frame's arrays cross the tunnel)."""
+        sub = {k: result[k] for k in self._PAYLOAD_KEYS}
+        if idx is not None:
+            sub = jax.tree.map(lambda a: a[idx], sub)
+        return jax.device_get(sub)
+
+    def _create_keyframe(
+        self, timestamp, result, s, frame_id, idx=None, gray=None, depth=None,
+    ) -> None:
         m = self.map
-        # pull the keyframe payload in one transfer
-        payload = jax.device_get(
-            {
-                "feats": result["feats"],
-                "plane_coeffs": result["plane_coeffs"],
-                "plane_valid": result["plane_valid"],
-                "plane_support": result["plane_support"],
-                "plane_cloud": result["plane_cloud"],
-                "plane_npts": result["plane_npts"],
-                "line_sp3": result["line_sp3"],
-                "line_ep3": result["line_ep3"],
-                "line_has3d": result["line_has3d"],
-                "line_valid": result["line_valid"],
-                "line_desc": result["line_desc"],
-                "line_assoc": result["line_assoc"],
-            }
-        )
+        payload = self._pull_payload(result, idx)
         feats_np = payload["feats"]
-        kf_id = m.add_keyframe(self.T_cw, timestamp, self.frame_id, feats_np)
+        kf_id = m.add_keyframe(self.T_cw, timestamp, frame_id, feats_np)
 
         # new map points from depth (close-first, cap 100)
         mp_idx = self._create_points_from_depth(feats_np, kf_id, s["kp_mp"])
@@ -190,13 +271,19 @@ class FastTracker:
         self._kf_lines(kf_id, payload)
 
         self.ref_kf = kf_id
-        self.last_kf_frame_id = self.frame_id
-        self.kf_membership = result["plane_membership"]  # for surfel exclusion
+        self.last_kf_frame_id = frame_id
+        membership = result["plane_membership"]
+        self.kf_membership = membership if idx is None else membership[idx]
+        # chunk mode: the keyframe's own gray/depth for the surfel mapper
+        # (System's last-frame copy would be a younger frame)
+        self.kf_gray, self.kf_depth = gray, depth
         if self.on_keyframe is not None:
-            self.on_keyframe(kf_id, result["feats"], feats_np)
+            self.on_keyframe(kf_id, payload["feats"], feats_np)
         self.refresh_view()
 
     kf_membership = None
+    kf_gray = None
+    kf_depth = None
 
     def _create_points_from_depth(self, feats_np, kf_id, existing, max_new=100):
         """All close points + nearest far points up to max_new total
@@ -330,28 +417,24 @@ class FastTracker:
             m.kf_ml_idx[kf_id, i] = j
 
     # ------------------------------------------------------- initialization
-    def _initialize(self, timestamp, gray_d, depth_d, gray, depth) -> None:
+    def _initialize(self, timestamp, packed) -> None:
         self.T_cw = np.eye(4, dtype=np.float32)
         # bootstrap view so the step can run (empty map)
         self.refresh_view()
-        result, _ = self.step(gray_d, depth_d, self.carry, self.view)
-        self.last_result = result
-        payload = jax.device_get(
-            {
-                "feats": result["feats"],
-                "plane_coeffs": result["plane_coeffs"],
-                "plane_valid": result["plane_valid"],
-                "plane_support": result["plane_support"],
-                "plane_cloud": result["plane_cloud"],
-                "plane_npts": result["plane_npts"],
-                "line_sp3": result["line_sp3"],
-                "line_ep3": result["line_ep3"],
-                "line_has3d": result["line_has3d"],
-                "line_valid": result["line_valid"],
-                "line_desc": result["line_desc"],
-                "line_assoc": result["line_assoc"],
-            }
-        )
+        if self.chunk > 1:
+            # reuse the (single-trace) chunk program on a repeated frame
+            stack = jnp.asarray(
+                np.broadcast_to(packed, (self.chunk,) + packed.shape)
+            )
+            results, _ = self.chunk_step(stack, self.carry, self.view)
+            self.last_result = results
+            result = results
+            idx = 0
+        else:
+            result, _ = self.step(jnp.asarray(packed), self.carry, self.view)
+            self.last_result = result
+            idx = None
+        payload = self._pull_payload(result, idx)
         feats_np = payload["feats"]
         m = self.map
         kf_id = m.add_keyframe(self.T_cw, timestamp, self.frame_id, feats_np)
@@ -370,20 +453,33 @@ class FastTracker:
         self.last_kf_frame_id = self.frame_id
         self.state = OK
         self.carry = dt.init_carry(self.cfg)
-        self.kf_membership = result["plane_membership"]
+        membership = result["plane_membership"]
+        self.kf_membership = membership if idx is None else membership[idx]
         if self.on_keyframe is not None:
-            self.on_keyframe(kf_id, result["feats"], feats_np)
+            self.on_keyframe(kf_id, payload["feats"], feats_np)
         self.refresh_view()
 
+    _shadow = None  # host snapshot of what the device view holds
+
     def refresh_view(self) -> None:
-        self.view = dt.build_map_view(self.cfg, self.map, self.reg2, self.reg3)
-        self.view = dt.set_ref_kf(self.view, self.map, self.ref_kf)
+        host = dt.build_host_view(
+            self.cfg, self.map, self.reg2, self.reg3, self.ref_kf
+        )
+        if self.view is None or self._shadow is None:
+            self.view = jax.device_put(host)
+        else:
+            rows, full = dt.diff_host_views(self._shadow, host)
+            self.view = dt.apply_view_update(self.view, rows, full)
+        self._shadow = host
 
     # --------------------------------------------------------------- reloc
-    def _relocalize(self, result) -> bool:
+    def _relocalize(self, result, idx=None) -> bool:
         if self.reloc_module is None:
             return False
-        T = self.reloc_module.relocalize(result["feats"])
+        feats = result["feats"]
+        if idx is not None:
+            feats = jax.tree.map(lambda a: a[idx], feats)
+        T = self.reloc_module.relocalize(feats)
         if T is None:
             return False
         self.T_cw = T.astype(np.float32)

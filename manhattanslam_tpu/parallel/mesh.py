@@ -104,8 +104,7 @@ def build_throughput_step(cfg: SlamConfig, batch: int):
     """
     from manhattanslam_tpu.frontend import device_tracker as dt
 
-    base = dt.build_frame_step(cfg, use_pallas=False)  # pallas cannot vmap
-    inner = base.__wrapped__  # un-jitted
+    inner = dt.build_frame_body(cfg, use_pallas=False)  # pallas cannot vmap
 
     def one(gray, depth, carry, view):
         result, new_carry = inner(gray, depth, carry, view)

@@ -30,13 +30,16 @@ class System:
         enable_surfels: bool = True,
         fast: bool = False,
         pipeline: bool = False,
+        chunk: int = 1,
     ):
         """fast=True uses the fused single-jit device tracker
         (frontend/device_tracker.py): all subsystems always on, one
         host<->device roundtrip per frame.  fast=False uses the modular
         per-stage tracker (frontend/tracking.py) with per-subsystem toggles.
         pipeline=True additionally overlaps device compute with the summary
-        pull (one-frame result latency; fast mode only).
+        pull (one-frame result latency; fast mode only).  chunk=C scans C
+        frames per device dispatch (one upload + one pull per chunk;
+        keyframes at chunk boundaries; fast mode only).
         """
         self.cfg = (
             settings if isinstance(settings, SlamConfig) else load_config(settings)
@@ -44,10 +47,13 @@ class System:
         self.map = SlamMap(self.cfg)
         self.fast = fast
         self.pipeline = pipeline
+        self.chunk = chunk
         if fast:
             from manhattanslam_tpu.frontend.fast_tracking import FastTracker
 
-            self.tracker = FastTracker(self.cfg, self.map, pipeline=pipeline)
+            self.tracker = FastTracker(
+                self.cfg, self.map, pipeline=pipeline, chunk=chunk
+            )
             enable_planes = enable_lines = False  # fused into the step
         else:
             self.tracker = Tracker(self.cfg, self.map)
@@ -142,7 +148,9 @@ class System:
         if self.fast:
             from manhattanslam_tpu.frontend.fast_tracking import FastTracker
 
-            tracker = FastTracker(self.cfg, self.map, pipeline=self.pipeline)
+            tracker = FastTracker(
+                self.cfg, self.map, pipeline=self.pipeline, chunk=self.chunk
+            )
         else:
             tracker = Tracker(self.cfg, self.map)
         tracker.plane_module = self.tracker.plane_module
@@ -209,7 +217,11 @@ class System:
             gray, depth = self._last_gray, self._last_depth
             if self.fast:
                 membership = self.tracker.kf_membership
-                if getattr(self.tracker, "pipeline", False) and self._prev_gray is not None:
+                if self.tracker.kf_gray is not None:
+                    # chunk mode: the tracker stashed the keyframe's own
+                    # gray/depth (System's last-frame copy is younger)
+                    gray, depth = self.tracker.kf_gray, self.tracker.kf_depth
+                elif getattr(self.tracker, "pipeline", False) and self._prev_gray is not None:
                     # pipelined: the keyframe is the PREVIOUS frame
                     gray, depth = self._prev_gray, self._prev_depth
             self.surfel_mapper.insert_keyframe(

@@ -110,11 +110,12 @@ def main():
             view = dt.build_map_view(cfg, m)
             view = dt.set_ref_kf(view, m, 0)
 
-            def full(g, d, ca):
-                r, nc = step(g, d, ca, view)
+            def full(p, ca):
+                r, nc = step(p, ca, view)
                 return r["T"], r["n_inliers"]
 
-            ms = timeit(full, gray, depth, carry)
+            packed = jnp.asarray(dt.pack_frame(np.asarray(gray), np.asarray(depth)))
+            ms = timeit(full, packed, carry)
             results[name] = ms
             delta = results["full"] - ms if name != "full" else 0.0
             print(f"{name:18s} {ms:8.2f} ms   (saves {delta:7.2f} ms)")

@@ -69,10 +69,9 @@ def main():
         t, gray, depth = frames[i]
         t0 = time.perf_counter()
         tr.frame_id += 1
-        gd = jnp.asarray(np.stack([gray, depth]))
-        gray_d, depth_d = gd[0], gd[1]
+        pd = jnp.asarray(dt.pack_frame(gray, depth))
         t1 = time.perf_counter()
-        result, new_carry = tr.step(gray_d, depth_d, tr.carry, tr.view)
+        result, new_carry = tr.step(pd, tr.carry, tr.view)
         tr.last_result = result
         tr.carry = new_carry
         t2 = time.perf_counter()

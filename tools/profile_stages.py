@@ -116,11 +116,12 @@ def main():
     view = dt.build_map_view(cfg, m)
     view = dt.set_ref_kf(view, m, 0)
 
-    def full(g, d, ca):
-        r, nc = step(g, d, ca, view)
+    def full(p, ca):
+        r, nc = step(p, ca, view)
         return r["T"]
 
-    print(f"full_step          {timeit(full, gray, depth, carry):8.2f} ms")
+    packed = jnp.asarray(dt.pack_frame(np.asarray(gray_np), np.asarray(depth_np)))
+    print(f"full_step          {timeit(full, packed, carry):8.2f} ms")
 
 
 if __name__ == "__main__" and __import__("sys").argv[-1] != "extra":
