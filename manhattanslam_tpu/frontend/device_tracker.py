@@ -329,8 +329,15 @@ def build_plane_obs_device(fp_coeffs, assoc, par, ver, view):
 
 
 # ---------------------------------------------------------- line matching
-def associate_lines_device(det, desc, T_cw, view, K):
-    """LSDmatcher semantics on device: cosine NN + angle/midpoint gating."""
+def associate_lines_device(det, desc, T_cw, view, K, image_hw=None):
+    """LSDmatcher semantics on device: cosine NN with the reference's
+    NN-ratio gate (minRatio 1/1.5, LSDmatcher.cpp:214-223) and MAD-adaptive
+    absolute gating (lineDescriptorMAD, :384-409), plus angle/midpoint
+    projection windows.
+
+    Returns (assoc (L,), visible (ML,)) — visible marks map lines whose
+    projection lands in the frustum (MapLine found/visible bookkeeping).
+    """
     ml_sp, ml_ep = view["ml_sp"], view["ml_ep"]
     R, t = T_cw[:3, :3], T_cw[:3, 3]
 
@@ -349,6 +356,15 @@ def associate_lines_device(det, desc, T_cw, view, K):
     ep2, z2 = proj(ml_ep)
     front = (z1 > 0.05) & (z2 > 0.05) & view["ml_valid"]
     mid_map = 0.5 * (sp2 + ep2)
+    if image_hw is not None:
+        h, w = image_hw
+        visible = (
+            front
+            & (mid_map[:, 0] >= 0) & (mid_map[:, 0] < w)
+            & (mid_map[:, 1] >= 0) & (mid_map[:, 1] < h)
+        )
+    else:
+        visible = front
     ang_map = jnp.arctan2(ep2[:, 1] - sp2[:, 1], ep2[:, 0] - sp2[:, 0])
     mid_f = 0.5 * (det["sp"] + det["ep"])
     ang_f = det["angle"]
@@ -359,9 +375,24 @@ def associate_lines_device(det, desc, T_cw, view, K):
         d_ang < jnp.radians(12.0)
     )
     sim = jnp.where(allow, sim, -jnp.inf)
+    top2 = jax.lax.top_k(sim, 2)[0]  # (L, 2)
+    s1, s2 = top2[:, 0], top2[:, 1]
     best = jnp.argmax(sim, -1).astype(jnp.int32)
-    ok = jnp.max(sim, -1) > 0.7
-    return jnp.where(ok, best, -1)
+    has = jnp.isfinite(s1)
+    # NN-ratio in distance space (dist = 1 - sim): d1/d2 < 1/1.5
+    ratio_ok = ~jnp.isfinite(s2) | ((1.0 - s1) < (1.0 - s2) / 1.5)
+    # MAD-adaptive absolute threshold over this frame's best similarities
+    s1_val = jnp.where(has, s1, jnp.nan)
+    med = jnp.nanmedian(s1_val)
+    mad = jnp.nanmedian(jnp.abs(s1_val - med))
+    n_has = jnp.sum(has)
+    thr = jnp.where(
+        n_has >= 4,
+        jnp.minimum(0.7, med - 1.4826 * 1.5 * mad),
+        0.7,
+    )
+    ok = has & ratio_ok & (s1 > thr)
+    return jnp.where(ok, best, -1), visible
 
 
 def build_line_obs_device(det, assoc, view):
@@ -461,6 +492,7 @@ def build_frame_body(cfg: SlamConfig, use_pallas: bool | None = None):
         vo_dir = vo_pos - cam_prev[None]
         vo_dist = jnp.linalg.norm(vo_dir, axis=-1).clip(1e-6)
 
+        n_map = view["mp_pos"].shape[0]
         mp_view = {
             "pos": jnp.concatenate([view["mp_pos"], vo_pos]),
             "desc": jnp.concatenate([view["mp_desc"], carry["prev_desc"]]),
@@ -477,8 +509,14 @@ def build_frame_body(cfg: SlamConfig, use_pallas: bool | None = None):
                     vo_dist * sf ** carry["prev_level"].astype(jnp.float32) * 2.0,
                 ]
             ),
+            # rotation-histogram gate on the temporal block only
+            "angle": jnp.concatenate(
+                [jnp.zeros(n_map), carry["prev_angle"]]
+            ),
+            "rot_gate": jnp.concatenate(
+                [jnp.zeros(n_map, bool), vo_valid]
+            ),
         }
-        n_map = view["mp_pos"].shape[0]
 
         def solve_proj(
             T0, radius, plane_obs, line_obs, translation_only=False,
@@ -492,13 +530,23 @@ def build_frame_body(cfg: SlamConfig, use_pallas: bool | None = None):
             )
 
         # --- candidate solves (no structural residuals; short LM schedule —
-        # the final solve below does the full 4-round polish).  One widened
-        # radius (10 px) covers the reference's 7-then-14 retry ladder.
+        # the final solve below does the full 4-round polish).  Motion-model
+        # search at radius 7 px, then the reference's widened 2x retry when
+        # matches are thin (TrackWithMotionModel, Tracking.cc:1243-1348) —
+        # the retry branch only executes when taken (lax.cond).
         out_a = solve_proj(
-            T_seed, jnp.float32(10.0), empty_planes, empty_lines,
+            T_seed, jnp.float32(7.0), empty_planes, empty_lines,
             n_rounds=2, n_iters=6,
         )
-        out_b = out_a
+        out_ab = jax.lax.cond(
+            out_a["n_matches"] >= 20,
+            lambda _: out_a,
+            lambda _: solve_proj(
+                T_seed, jnp.float32(14.0), empty_planes, empty_lines,
+                n_rounds=2, n_iters=6,
+            ),
+            operand=None,
+        )
         ref_view = {
             "pos": view["mp_pos"][jnp.maximum(view["ref_mp"], 0)],
             "desc": view["ref_desc"],
@@ -511,15 +559,10 @@ def build_frame_body(cfg: SlamConfig, use_pallas: bool | None = None):
             ref_view, carry["T_last"], feats, view["ref_angle"], K, bf, params,
             empty_planes, empty_lines, n_rounds=2, n_iters=6,
         )
-        ok_a = out_a["n_pt_inliers"] >= 10
-        ok_b = out_b["n_pt_inliers"] >= 10
+        ok_ab = (out_ab["n_pt_inliers"] >= 10) & carry["have_velocity"]
         ok_c = out_c["n_pt_inliers"] >= 10
-        ok_a = ok_a & carry["have_velocity"]
-        ok_b = ok_b & carry["have_velocity"]
-        T_init = jnp.where(
-            ok_a, out_a["T"], jnp.where(ok_b, out_b["T"], out_c["T"])
-        )
-        init_ok = ok_a | ok_b | ok_c
+        T_init = jnp.where(ok_ab, out_ab["T"], out_c["T"])
+        init_ok = ok_ab | ok_c
 
         # --- planes at the refined pose ---
         planes = plane_ops.extract_planes_device(
@@ -545,7 +588,9 @@ def build_frame_body(cfg: SlamConfig, use_pallas: bool | None = None):
         lifted = line_ops.lift_lines_3d(
             depth, K, det["sp"], det["ep"], det["valid"]
         )
-        l_assoc = associate_lines_device(det, ldesc, T_init, view, K)
+        l_assoc, ml_visible = associate_lines_device(
+            det, ldesc, T_init, view, K, image_hw=hw
+        )
         line_obs = build_line_obs_device(det, l_assoc, view)
 
         # --- Manhattan decoupled translation-only re-solve ---
@@ -554,8 +599,29 @@ def build_frame_body(cfg: SlamConfig, use_pallas: bool | None = None):
             T_manh, jnp.float32(7.0), plane_obs, empty_lines,
             translation_only=True, n_rounds=2, n_iters=6,
         )
-        use_manh = man_found & (out_t["n_pt_inliers"] >= 10)
-        T_mid = jnp.where(use_manh, out_t["T"], T_init)
+        ok_t = out_t["n_pt_inliers"] >= 10
+        # motion-model translation failed with a Manhattan rotation in
+        # hand: the reference retries against the reference keyframe by
+        # descriptors before abandoning the rotation (TranslationEstimation,
+        # Tracking.cc:846-944) — only executed when needed (lax.cond)
+        def _ref_translation(_):
+            o = tracking_ops.track_descriptors(
+                ref_view, T_manh, feats, view["ref_angle"], K, bf, params,
+                plane_obs, empty_lines, translation_only=True,
+                n_rounds=2, n_iters=6,
+            )
+            return {"T": o["T"], "n": o["n_pt_inliers"]}
+
+        out_t2 = jax.lax.cond(
+            man_found & ~ok_t,
+            _ref_translation,
+            lambda _: {"T": T_manh, "n": jnp.int32(0)},
+            operand=None,
+        )
+        use_manh = man_found & (ok_t | (out_t2["n"] >= 10))
+        T_mid = jnp.where(
+            use_manh, jnp.where(ok_t, out_t["T"], out_t2["T"]), T_init
+        )
 
         # --- final full solve with structural residuals ---
         out_f = solve_proj(T_mid, jnp.float32(4.0), plane_obs, line_obs)
@@ -584,6 +650,7 @@ def build_frame_body(cfg: SlamConfig, use_pallas: bool | None = None):
             "prev_depth": feats["depth"],
             "prev_desc": feats["desc"],
             "prev_level": feats["level"],
+            "prev_angle": feats["angle"],
             "prev_valid": feats["valid"] & tracked_ok,
         }
 
@@ -619,6 +686,7 @@ def build_frame_body(cfg: SlamConfig, use_pallas: bool | None = None):
             "line_ep3": lifted["ep3"],
             "line_has3d": lifted["ok"],
             "line_assoc": l_assoc,
+            "ml_visible": ml_visible,
             "feats": feats,
         }
         return result, new_carry
@@ -680,6 +748,7 @@ def init_carry(cfg: SlamConfig, T0: np.ndarray | None = None) -> dict:
             "prev_depth": jnp.zeros(n_kp),
             "prev_desc": jnp.zeros((n_kp, 8), jnp.uint32),
             "prev_level": jnp.zeros(n_kp, jnp.int32),
+            "prev_angle": jnp.zeros(n_kp),
             "prev_valid": jnp.zeros(n_kp, bool),
         }
     )
@@ -689,6 +758,7 @@ SUMMARY_KEYS = (
     "T", "tracked_ok", "n_inliers", "n_matches", "tracked_close",
     "nontracked_close", "manhattan_found", "use_manhattan", "new_plane",
     "kp_mp", "matched", "visible", "plane_assoc", "plane_valid",
+    "line_assoc", "ml_visible",
 )
 
 

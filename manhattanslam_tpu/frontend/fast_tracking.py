@@ -58,6 +58,7 @@ class FastTracker:
 
         self.state = NOT_INITIALIZED
         self.only_tracking = False
+        self.request_reset = False
         self.T_cw = np.eye(4, dtype=np.float32)
         self.frame_id = -1
         self.last_kf_frame_id = 0
@@ -177,8 +178,9 @@ class FastTracker:
             frame_id = self.frame_id
 
         ok = bool(s["tracked_ok"])
-        if not ok and self.state == OK:
-            # one LOST grace attempt via relocalization
+        if not ok:
+            # relocalization attempt (every frame while lost,
+            # Tracking.cc:410)
             if self._relocalize(result, idx=idx):
                 # _relocalize already set T_cw and reset the carry; the
                 # failed device track's pose/matches in `s` are garbage,
@@ -192,6 +194,10 @@ class FastTracker:
                 return self.T_cw.copy()
         if not ok:
             self.state = LOST
+            # barely-started map: request a full system reset instead of
+            # waiting for relocalization (Tracking.cc:517-523)
+            if not self.only_tracking and self.map.n_kf <= 5:
+                self.request_reset = True
             self._record(timestamp, lost=True)
             return None
 
@@ -206,6 +212,12 @@ class FastTracker:
         vis = s["visible"] & m.mp_valid
         m.mp_visible[vis] += 1
         m.mp_found[s["matched"] & vis & s["visible"]] += 1
+        # line found/visible ratios (MapLine::IncreaseVisible/Found)
+        lvis = s["ml_visible"] & m.ml_valid
+        m.ml_visible[lvis] += 1
+        matched_ml = s["line_assoc"][s["line_assoc"] >= 0]
+        matched_ml = matched_ml[m.ml_valid[matched_ml]]
+        m.ml_found[matched_ml] += 1
 
         if not self.only_tracking and self._need_new_keyframe(s, frame_id):
             self._create_keyframe(timestamp, result, s, frame_id, idx=idx,
@@ -399,7 +411,6 @@ class FastTracker:
             j = int(payload["line_assoc"][i])
             if j >= 0 and m.ml_valid[j]:
                 m.ml_n_obs[j] += 1
-                m.ml_found[j] += 1
             elif payload["line_has3d"][i] and n_new < max_new:
                 free = np.nonzero(~m.ml_valid)[0]
                 if len(free) == 0:

@@ -98,14 +98,43 @@ class LineModule:
             & (d_ang < np.radians(12.0))
         )
         sim = np.where(allow, sim, -np.inf)
+
+        # MapLine::IncreaseVisible for map lines whose projected midpoint
+        # lands inside the image
+        h, w = self.cfg.camera.height, self.cfg.camera.width
+        vis = (
+            front
+            & (mid_map[:, 0] >= 0) & (mid_map[:, 0] < w)
+            & (mid_map[:, 1] >= 0) & (mid_map[:, 1] < h)
+        )
+        m.ml_visible[ml_ids[vis]] += 1
+
+        # MAD-adaptive absolute gate over this frame's best similarities
+        # (lineDescriptorMAD, LSDmatcher.cpp:384-409) + NN-ratio 1/1.5
+        best_sim = np.max(sim, axis=1, initial=-np.inf)
+        has = np.isfinite(best_sim) & fl["valid"]
+        if has.sum() >= 4:
+            med = np.median(best_sim[has])
+            mad = np.median(np.abs(best_sim[has] - med))
+            thr = min(0.7, med - 1.4826 * 1.5 * mad)
+        else:
+            thr = 0.7
         n = 0
         for i in range(L):
             if not fl["valid"][i]:
                 continue
-            j = int(np.argmax(sim[i])) if sim.shape[1] else -1
-            if j >= 0 and np.isfinite(sim[i, j]) and sim[i, j] > 0.7:
-                self.assoc[i] = ml_ids[j]
-                n += 1
+            if sim.shape[1] == 0:
+                continue
+            order = np.argsort(-sim[i])
+            j = int(order[0])
+            if not (np.isfinite(sim[i, j]) and sim[i, j] > thr):
+                continue
+            if len(order) > 1 and np.isfinite(sim[i, order[1]]):
+                if (1.0 - sim[i, j]) >= (1.0 - sim[i, order[1]]) / 1.5:
+                    continue  # ambiguous (NN ratio)
+            self.assoc[i] = ml_ids[j]
+            m.ml_found[ml_ids[j]] += 1
+            n += 1
         return n
 
     # ------------------------------------------------------------ LM inputs
@@ -147,7 +176,6 @@ class LineModule:
             j = int(self.assoc[i])
             if j >= 0:
                 m.ml_n_obs[j] += 1
-                m.ml_found[j] += 1
             elif fl["has3d"][i] and n_new < max_new:
                 free = np.nonzero(~m.ml_valid)[0]
                 if len(free) == 0:

@@ -50,6 +50,7 @@ class Tracker:
 
         self.state = NOT_INITIALIZED
         self.only_tracking = False
+        self.request_reset = False
         self.T_cw = np.eye(4, dtype=np.float32)
         self.velocity: np.ndarray | None = None
         self.frame_id = -1
@@ -129,7 +130,7 @@ class Tracker:
             out = self._track_ref_kf(feats, self.last_pose)
             ok = int(out["n_pt_inliers"]) >= 10
         if not ok:
-            self.state = LOST
+            self._set_lost()
             return False
 
         T = np.asarray(out["T"])
@@ -146,6 +147,14 @@ class Tracker:
                 out_t = self._track_last_frame(
                     feats, T_manh, radius=7.0, translation_only=True
                 )
+                if int(out_t["n_pt_inliers"]) < 10:
+                    # motion-model translation failed: retry against the
+                    # reference keyframe by descriptors before abandoning
+                    # the Manhattan rotation (TranslationEstimation,
+                    # Tracking.cc:846-944)
+                    out_t = self._track_ref_kf(
+                        feats, T_manh, translation_only=True
+                    )
                 if int(out_t["n_pt_inliers"]) >= 10:
                     out = out_t
                     T = np.asarray(out["T"])
@@ -163,7 +172,7 @@ class Tracker:
         )
         ok = self.n_inliers >= (50 if recently_relocalized else 30)
         if not ok:
-            self.state = LOST
+            self._set_lost()
             return False
 
         self.state = OK
@@ -469,6 +478,13 @@ class Tracker:
         return True
 
     # ---------------------------------------------------------- bookkeeping
+    def _set_lost(self) -> None:
+        """Tracking lost; with a barely-started map (<=5 KFs) request a
+        full system reset instead of relocalizing (Tracking.cc:517-523)."""
+        self.state = LOST
+        if not self.only_tracking and self.map.n_kf <= 5:
+            self.request_reset = True
+
     def _record(self, timestamp: float, lost: bool) -> None:
         T_ref = self.map.kf_pose[self.ref_kf]
         if lost:

@@ -154,6 +154,17 @@ def track_projection(
         point_levels=levels,
         max_depth_ratio=depth_band, view_dirs=view,
     )
+    if "rot_gate" in pts:
+        # rotation-histogram filter over the gated subset (the temporal
+        # last-frame block): ORBmatcher::SearchByProjection(Frame, Frame)
+        # applies ComputeThreeMaxima to last-frame matches
+        # (ORBmatcher.cc:548-678); map points carry no keypoint angle and
+        # pass through untouched.
+        sub = pts["rot_gate"] & m["valid"]
+        rot_ok = matching.rotation_consistency_mask(
+            pts["angle"], feats["angle"][m["kp_idx"]], sub
+        )
+        m["valid"] = jnp.where(pts["rot_gate"], rot_ok, m["valid"])
     # compact the problem to keypoint-indexed arrays: the landmark bank can
     # be 32x larger than the keypoint budget, and the LM iteration cost
     # scales with the residual row count

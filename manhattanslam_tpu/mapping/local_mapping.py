@@ -44,6 +44,8 @@ class LocalMapper:
         self.cull_map_points(kf_id)
         self.create_new_points(kf_id)
         self.fuse_neighbors(kf_id)
+        self.fuse_lines(kf_id)
+        self.refresh_point_landmarks(kf_id)
         self.cull_keyframes(kf_id)
         self.cull_map_planes(kf_id)
         self.cull_map_lines(kf_id)
@@ -238,6 +240,105 @@ class LocalMapper:
                     m.kf_mp_idx[: m.n_kf][m.kf_mp_idx[: m.n_kf] == lose] = win
                     m.mp_valid[lose] = False
         m.update_covisibility(kf_id)
+
+    def fuse_lines(self, kf_id: int, n_neighbors: int = 10) -> None:
+        """Line duplicate fusion across the covisibility neighborhood
+        (SearchInNeighbors' line half, LocalMapping.cc:524-622 +
+        LSDmatcher::Fuse, LSDmatcher.cpp:259-383): map lines observed by
+        this KF and its neighbors that are mutually close in space and
+        descriptor are merged into the better-observed landmark."""
+        m = self.map
+        kfs = [kf_id] + [int(k) for k in m.covisible_kfs(kf_id)[:n_neighbors]]
+        ids = np.unique(m.kf_ml_idx[kfs])
+        ids = ids[(ids >= 0)]
+        ids = ids[m.ml_valid[ids]]
+        if len(ids) < 2:
+            return
+        sp, ep = m.ml_sp[ids], m.ml_ep[ids]
+        d = ep - sp
+        length = np.linalg.norm(d, axis=-1).clip(1e-6)
+        u = d / length[:, None]
+        mid = 0.5 * (sp + ep)
+        desc = m.ml_desc[ids]
+        dn = np.linalg.norm(desc, axis=-1).clip(1e-9)
+        sim = (desc / dn[:, None]) @ (desc / dn[:, None]).T
+        cos_dir = np.abs(u @ u.T)
+        d_mid = np.linalg.norm(mid[:, None] - mid[None], axis=-1)
+        dup = (
+            (sim > 0.85)
+            & (cos_dir > np.cos(np.radians(8.0)))
+            & (d_mid < 0.15)  # meters
+        )
+        np.fill_diagonal(dup, False)
+        obs = m.ml_n_obs[ids]
+        for a, b in zip(*np.nonzero(np.triu(dup))):
+            la, lb = int(ids[a]), int(ids[b])
+            if not (m.ml_valid[la] and m.ml_valid[lb]):
+                continue
+            lose, win = (la, lb) if obs[b] >= obs[a] else (lb, la)
+            m.kf_ml_idx[: m.n_kf][m.kf_ml_idx[: m.n_kf] == lose] = win
+            m.ml_n_obs[win] += m.ml_n_obs[lose]
+            m.ml_found[win] += m.ml_found[lose]
+            m.ml_visible[win] += m.ml_visible[lose]
+            m.ml_valid[lose] = False
+
+    # ---------------------------------------------------- landmark refresh
+    def refresh_point_landmarks(self, kf_id: int) -> None:
+        """MapPoint lifecycle refinement on new observations:
+        distinctive-descriptor refresh (min median Hamming over all
+        observations, MapPoint::ComputeDistinctiveDescriptors) and
+        UpdateNormalAndDepth (mean viewing ray + scale-band from the
+        first-observing keyframe, MapPoint.cc)."""
+        m = self.map
+        mine = m.kf_mp_idx[kf_id]
+        mps = np.unique(mine[mine >= 0])
+        mps = mps[m.mp_valid[mps]]
+        if len(mps) == 0:
+            return
+        # observation table (kf, kp) per map point
+        obs_kf, obs_kp = np.nonzero(
+            (m.kf_mp_idx[: m.n_kf] >= 0) & m.kf_valid[: m.n_kf, None]
+        )
+        obs_mp = m.kf_mp_idx[obs_kf, obs_kp]
+        order = np.argsort(obs_mp, kind="stable")
+        obs_kf, obs_kp, obs_mp = obs_kf[order], obs_kp[order], obs_mp[order]
+        starts = np.searchsorted(obs_mp, mps)
+        ends = np.searchsorted(obs_mp, mps, side="right")
+        sf = self.cfg.orb.scale_factor
+        n_levels = self.cfg.orb.n_levels
+
+        # camera centers per keyframe
+        Rt = m.kf_pose[: m.n_kf, :3, :3]
+        tt = m.kf_pose[: m.n_kf, :3, 3]
+        centers = -np.einsum("kij,kj->ki", Rt.transpose(0, 2, 1), tt)
+
+        for p, s, e in zip(mps, starts, ends):
+            if e - s < 2:
+                continue
+            kfs, kps = obs_kf[s:e], obs_kp[s:e]
+            descs = m.kf_desc[kfs, kps]  # (n, 8) uint32
+            x = descs[:, None, :] ^ descs[None, :, :]
+            ham = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+            med = np.median(ham, axis=1)
+            best = int(np.argmin(med))
+            m.mp_desc[p] = descs[best]
+            # UpdateNormalAndDepth
+            rays = m.mp_pos[p][None] - centers[kfs]
+            norms = np.linalg.norm(rays, axis=1).clip(1e-9)
+            normal = (rays / norms[:, None]).mean(0)
+            nn = np.linalg.norm(normal)
+            if nn > 1e-6:
+                m.mp_normal[p] = normal / nn
+            ref = int(m.mp_first_kf[p])
+            if 0 <= ref < m.n_kf and m.kf_valid[ref]:
+                in_ref = np.nonzero(kfs == ref)[0]
+                if len(in_ref):
+                    dist_ref = float(
+                        np.linalg.norm(m.mp_pos[p] - centers[ref])
+                    )
+                    lvl = int(m.kf_level[ref, kps[in_ref[0]]])
+                    m.mp_max_dist[p] = dist_ref * sf**lvl
+                    m.mp_min_dist[p] = m.mp_max_dist[p] / sf ** (n_levels - 1)
 
     # --------------------------------------------------------- KF culling
     def cull_keyframes(self, kf_id: int) -> None:

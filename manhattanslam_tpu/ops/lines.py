@@ -335,5 +335,29 @@ def lift_lines_3d(
     sp3 = mean + t0[:, None] * direction
     ep3 = mean + t1[:, None] * direction
 
-    ok = valid & (best_n >= n_samples // 3) & ((t1 - t0) > 0.05)
-    return {"sp3": sp3, "ep3": ep3, "ok": ok, "n_inliers": best_n}
+    # sub-segment occupancy verification (3DLineExtractor.cpp:208-261):
+    # split the fitted extent into 10 cells; inliers must occupy >= 70% of
+    # them, rejecting "lines" whose support clusters at the ends (e.g. two
+    # co-linear patches across a depth discontinuity)
+    n_cells = 10
+    span = (t1 - t0).clip(1e-6)
+    cell = jnp.clip(
+        (t_proj - t0[:, None]) / span[:, None] * n_cells, 0.0, n_cells - 1e-3
+    ).astype(jnp.int32)
+    occupied = jnp.any(
+        (cell[:, :, None] == jnp.arange(n_cells)[None, None, :])
+        & best_inl[:, :, None],
+        axis=1,
+    )  # (L, n_cells)
+    occ_ratio = jnp.mean(occupied.astype(jnp.float32), axis=-1)
+
+    ok = (
+        valid
+        & (best_n >= n_samples // 3)
+        & ((t1 - t0) > 0.05)
+        & (occ_ratio >= 0.7)
+    )
+    return {
+        "sp3": sp3, "ep3": ep3, "ok": ok, "n_inliers": best_n,
+        "occ_ratio": occ_ratio,
+    }

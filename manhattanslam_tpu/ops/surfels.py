@@ -130,9 +130,112 @@ def superpixels(
     )  # (S, 3, 3)
     cov = s2 / n_pix[:, None, None].clip(1.0) - mean[:, None, :] * mean[:, :, None]
     ev_small, normal = eig33.eig33_smallest(cov)
+    mse0 = jnp.clip(ev_small, 0.0)
+    lab2 = jnp.maximum(labels, 0)
+
+    # ---- robust plane fit (getHuberNorm, SurfelFusion.cpp:91-165,
+    # HUBER_RANGE 0.4 m, 5 iterations).  The plain eig fit fails in a
+    # specific way on occlusion-boundary depth outliers: the outliers lie
+    # ALONG the viewing ray, so the least-squares plane degenerates to one
+    # parallel to the ray where every residual is small and Huber
+    # reweighting cannot escape.  Two initializations are therefore
+    # refined independently — (a) the eig fit, (b) a fronto-parallel plane
+    # at the robust (Huber-mean) segment depth — and the one with the
+    # larger tight-trim consensus wins.
+    HUBER = 0.4
+
+    def seg_sum_w(v, wgt):
+        return jnp.zeros(S).at[lab].add((v * wgt).ravel())
+
+    def fit_from(mean_i, normal_i, irls=True):
+        mean_f, normal_f = mean_i, normal_i
+        for _ in range(3 if irls else 0):  # Huber IRLS
+            r = jnp.sum(normal_f[lab2] * (pts - mean_f[lab2]), -1)
+            wh = w * jnp.minimum(1.0, HUBER / jnp.abs(r).clip(1e-9))
+            nh = seg_sum_w(jnp.ones_like(wh), wh)
+            s1h = jnp.stack([seg_sum_w(pts[..., i], wh) for i in range(3)], -1)
+            mean_h = s1h / nh[:, None].clip(1e-6)
+            s2h = jnp.stack(
+                [
+                    jnp.stack(
+                        [seg_sum_w(pts[..., i] * pts[..., j], wh) for j in range(3)],
+                        -1,
+                    )
+                    for i in range(3)
+                ],
+                -2,
+            )
+            cov_h = (
+                s2h / nh[:, None, None].clip(1e-6)
+                - mean_h[:, None, :] * mean_h[:, :, None]
+            )
+            ok_h = nh >= 4.0
+            _, normal_h = eig33.eig33_smallest(cov_h)
+            mean_f = jnp.where(ok_h[:, None], mean_h, mean_f)
+            normal_f = jnp.where(ok_h[:, None], normal_h, normal_f)
+        # hard-trimmed refits: coarse (0.15 m) de-biases the offset the
+        # bounded Huber weights leave behind, tight measures plane quality
+        mse_f = mse0
+        n_cons_f = jnp.zeros(S)
+        for tight in (False, True):
+            r = jnp.sum(normal_f[lab2] * (pts - mean_f[lab2]), -1)
+            if tight:
+                tau = jnp.maximum(0.02, 0.02 * jnp.abs(mean_f[lab2][..., 2]))
+            else:
+                tau = 0.15
+            cw = ((jnp.abs(r) < tau) & (w > 0)).astype(jnp.float32)
+            n_c = seg_sum_w(jnp.ones_like(cw), cw)
+            s1c = jnp.stack([seg_sum_w(pts[..., i], cw) for i in range(3)], -1)
+            mean_c = s1c / n_c[:, None].clip(1e-6)
+            s2c = jnp.stack(
+                [
+                    jnp.stack(
+                        [seg_sum_w(pts[..., i] * pts[..., j], cw) for j in range(3)],
+                        -1,
+                    )
+                    for i in range(3)
+                ],
+                -2,
+            )
+            cov_c = (
+                s2c / n_c[:, None, None].clip(1e-6)
+                - mean_c[:, None, :] * mean_c[:, :, None]
+            )
+            ok_c = n_c >= 4.0
+            ev_c, normal_c = eig33.eig33_smallest(cov_c)
+            mean_f = jnp.where(ok_c[:, None], mean_c, mean_f)
+            normal_f = jnp.where(ok_c[:, None], normal_c, normal_f)
+            mse_f = jnp.where(ok_c, jnp.clip(ev_c, 0.0), mse_f)
+            n_cons_f = jnp.where(ok_c, n_c, 0.0)
+        return mean_f, normal_f, mse_f, n_cons_f
+
+    # candidate (a): eig init
+    mean_a, normal_a, mse_a, cons_a = fit_from(mean, normal)
+    # candidate (b): fronto-parallel at the robust segment depth
+    z_rob = mean[:, 2]
+    for _ in range(3):
+        wz = w * jnp.minimum(
+            1.0, HUBER / jnp.abs(depth - z_rob[lab2]).clip(1e-9)
+        )
+        wz = jnp.where(depth > 0, wz, 0.0)
+        z_rob = seg_sum_w(depth, wz) / seg_sum_w(jnp.ones_like(wz), wz).clip(1e-6)
+    mean_b0 = mean * jnp.array([1.0, 1.0, 0.0]) + z_rob[:, None] * jnp.array(
+        [0.0, 0.0, 1.0]
+    )
+    normal_b0 = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (S, 3))
+    # no IRLS for the fronto candidate: the Huber weight is linear-tailed
+    # (not redescending), so gross along-ray outliers would drag it back
+    # into the degenerate plane before the trims run
+    mean_b, normal_b, mse_b, cons_b = fit_from(mean_b0, normal_b0, irls=False)
+
+    use_b = (cons_b > cons_a)[:, None]
+    mean = jnp.where(use_b, mean_b, mean_a)
+    normal = jnp.where(use_b, normal_b, normal_a)
+    mse = jnp.where(use_b[:, 0], mse_b, mse_a)
+    n_cons = jnp.where(use_b[:, 0], cons_b, cons_a)
+
     flip = jnp.sum(normal * mean, -1) > 0  # orient toward camera
     normal = jnp.where(flip[:, None], -normal, normal)
-    mse = jnp.clip(ev_small, 0.0)
 
     z_mean = mean[:, 2]
     radius = SP_SIZE * 1.5 * z_mean / fx
@@ -140,6 +243,9 @@ def superpixels(
         (n_pix >= MIN_SP_PIXELS)
         & (z_mean > 0.1)
         & (mse < (0.01 + 0.01 * z_mean) ** 2)
+        # the fitted plane must explain most of the superpixel — a small
+        # trimmed consensus on contaminated depth is a junk fit
+        & (n_cons >= 0.6 * n_pix)
     )
     return {
         "labels": labels,

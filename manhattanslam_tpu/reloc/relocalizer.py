@@ -155,6 +155,33 @@ class Relocalizer:
                 prob, jnp.asarray(T0), self.K, self.bf, self.params
             )
             n_in = int(out["n_inliers"])
+            T_best = out["T"]
+            if 10 <= n_in < 50:
+                # widen-then-narrow projection search iteration
+                # (Tracking.cc:1960-2046): with a coarse pose in hand,
+                # re-search the candidate's points by projection with a
+                # wide window (10 px), re-optimize; if still short,
+                # a narrow window (3 px) disambiguates.
+                bank = {
+                    "pos": jnp.asarray(m.mp_pos[safe]),
+                    "desc": jnp.asarray(m.mp_desc[safe]),
+                    "valid": jnp.asarray(pts_valid),
+                    "level": jnp.asarray(m.mp_level[safe]),
+                }
+                cam = self.cfg.camera
+                for radius in (10.0, 3.0):
+                    out2 = tracking_ops.track_projection(
+                        bank, T_best, feats, self.K, self.bf, self.params,
+                        jnp.float32(radius), (cam.height, cam.width),
+                        self._empty_planes, self._empty_lines,
+                        scale_factor=self.cfg.orb.scale_factor,
+                        n_levels=self.cfg.orb.n_levels,
+                    )
+                    n2 = int(out2["n_pt_inliers"])
+                    if n2 > n_in:
+                        n_in, T_best = n2, out2["T"]
+                    if n_in >= 50:
+                        break
             if n_in >= 50 or (n_in >= 20 and n_in >= 0.5 * int(ok_np.sum())):
-                return np.asarray(out["T"])
+                return np.asarray(T_best)
         return None

@@ -157,7 +157,10 @@ class SlamMap:
         return i
 
     def merge_plane_points(self, i: int, pts: np.ndarray, voxel: float = 0.2) -> None:
-        """MapPlane::UpdateCoefficientsAndPoints — merge + voxel downsample."""
+        """MapPlane::UpdateCoefficientsAndPoints (MapPlane.cc:178-218) —
+        merge + voxel downsample, then REFIT the plane coefficients from
+        the merged cloud (the reference re-estimates with a SAC fit; here
+        a least-squares fit, equivalent on the voxel-filtered inliers)."""
         cur = self.pl_pts[i, : self.pl_n_pts[i]]
         allp = np.concatenate([cur, pts], 0)
         key = np.floor(allp / voxel).astype(np.int64)
@@ -169,6 +172,17 @@ class SlamMap:
             allp = allp[sel]
         self.pl_pts[i, : len(allp)] = allp
         self.pl_n_pts[i] = len(allp)
+        if len(allp) >= 8:
+            mean = allp.mean(0)
+            cen = allp - mean
+            cov = cen.T @ cen / len(allp)
+            w, v = np.linalg.eigh(cov)
+            n = v[:, 0]  # smallest-eigenvalue direction
+            old = self.pl_coeffs[i, :3]
+            if float(n @ old) < 0:  # keep the original orientation
+                n = -n
+            d = -float(n @ mean)
+            self.pl_coeffs[i] = np.concatenate([n, [d]]).astype(np.float32)
 
     # ------------------------------------------------------------ keyframes
     def add_keyframe(

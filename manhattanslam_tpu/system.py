@@ -129,6 +129,10 @@ class System:
         self._prev_gray, self._prev_depth = self._last_gray, self._last_depth
         self._last_gray, self._last_depth = gray, depth
         T = self.tracker.track(timestamp, gray, depth)
+        if getattr(self.tracker, "request_reset", False):
+            # lost with <=5 keyframes: automatic full reset
+            # (Tracking.cc:517-523)
+            self.reset()
         if self.viewer is not None:
             self.viewer.update()
         return T

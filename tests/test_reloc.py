@@ -79,6 +79,21 @@ def test_relocalization_after_loss(small_cfg):
         assert sys.track(gray, depth, t) is not None
     assert sys.tracker.reloc_module is not None
 
+    # losing with <=5 keyframes triggers the reference's automatic reset
+    # (Tracking.cc:517-523) instead of relocalization — pad the map with
+    # clones of keyframe 0 so the reloc path is exercised
+    m = sys.map
+    while m.n_kf <= 5:
+        feats0 = {
+            "xy_und": m.kf_xy[0], "u_right": m.kf_uright[0],
+            "depth": m.kf_depth[0], "level": m.kf_level[0],
+            "angle": m.kf_angle[0], "desc": m.kf_desc[0],
+            "valid": m.kf_kp_valid[0],
+        }
+        kf = m.add_keyframe(m.kf_pose[0], 0.01 * m.n_kf, 0, feats0)
+        m.set_kf_matches(kf, m.kf_mp_idx[0])
+        sys.tracker.reloc_module.add_keyframe(kf)
+
     # force loss: inject an unmatched frame (pure noise)
     rng = np.random.default_rng(0)
     noise = rng.uniform(0, 255, gray.shape).astype(np.float32)
@@ -95,3 +110,25 @@ def test_relocalization_after_loss(small_cfg):
             break
     assert recovered, "relocalization failed"
     assert sys.tracker.state == "OK"
+
+
+def test_auto_reset_on_early_loss(small_cfg):
+    """Losing tracking with <=5 keyframes resets the whole system
+    (Tracking.cc:517-523) and it re-initializes on the next good frame."""
+    seq = SyntheticSequence(n_frames=12, cam=small_cfg.camera)
+    sys = System(small_cfg, enable_planes=False, enable_lines=False,
+                 enable_surfels=False)
+    for i in range(4):
+        t, gray, depth = seq.frame(i)
+        sys.track(gray, depth, t)
+    assert 1 <= sys.map.n_kf <= 5
+    rng = np.random.default_rng(1)
+    noise = rng.uniform(0, 255, gray.shape).astype(np.float32)
+    nd = rng.uniform(0.5, 6.0, depth.shape).astype(np.float32)
+    assert sys.track(noise, nd, 0.5) is None
+    # reset happened: fresh map, tracker reinitializes on the next frame
+    assert sys.map.n_kf == 0
+    assert sys.tracker.state == "NOT_INITIALIZED"
+    t, gray, depth = seq.frame(4)
+    assert sys.track(gray, depth, 0.6) is not None
+    assert sys.map.n_kf == 1
