@@ -3,12 +3,15 @@
 
 Runs the FULL SLAM system (fused device step: ORB + planes + Manhattan +
 lines + LM solves, plus keyframing/mapping) over a synthetic 640x480 RGB-D
-sequence in pipelined mode (dispatch frame k while pulling frame k-1 —
-one-frame latency, reference-style asynchronous mapping).
+sequence in pipelined chunk mode (C frames per upload/dispatch/pull).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline = measured fps / 200 (the driver-set target in BASELINE.json;
 the reference C++ system claims ~30 fps real-time on a desktop i7).
+
+`python bench.py --throughput B` instead measures BASELINE config 5
+(B-sequence batched replay of the fused step against a shared map view —
+localization/replay mode) in aggregate frames/sec.
 """
 
 from __future__ import annotations
@@ -20,7 +23,91 @@ import time
 import numpy as np
 
 
+def bench_throughput(batch: int) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    import manhattanslam_tpu  # noqa: F401
+    from manhattanslam_tpu.config import CameraConfig, SlamConfig
+    from manhattanslam_tpu.datasets.synthetic import SyntheticSequence
+    from manhattanslam_tpu.frontend import device_tracker as dt
+    from manhattanslam_tpu.frontend.frame import backproject_keypoints
+    from manhattanslam_tpu.parallel import mesh as pmesh
+    from manhattanslam_tpu.slam_map import SlamMap
+
+    W, H = 640, 480
+    cfg = SlamConfig(
+        camera=CameraConfig(
+            fx=525.0, fy=525.0, cx=319.5, cy=239.5,
+            k1=0, k2=0, p1=0, p2=0, k3=0, width=W, height=H, bf=40.0,
+        )
+    )
+    n_frames = 12
+    seq = SyntheticSequence(n_frames=n_frames, cam=cfg.camera, view="corner")
+    frames = [seq.frame(i) for i in range(n_frames)]
+
+    # shared map view from frame 0 (replay/localization mode)
+    m = SlamMap(cfg)
+    body = dt.build_frame_body(cfg, use_pallas=False)
+    view0 = dt.build_map_view(cfg, m)
+    view0 = dt.set_ref_kf(view0, m, 0)
+    g0, d0 = frames[0][1:]
+    r0, _ = jax.jit(body)(
+        jnp.asarray(g0), jnp.asarray(d0), dt.init_carry(cfg), view0
+    )
+    feats_np = jax.device_get(r0["feats"])
+    kf = m.add_keyframe(np.eye(4, dtype=np.float32), 0.0, 0, feats_np)
+    pts_c = np.asarray(backproject_keypoints(r0["feats"], cfg))
+    sel = np.nonzero(feats_np["valid"] & (feats_np["depth"] > 0))[0][:1000]
+    m.add_points(
+        pts_c[sel], feats_np["desc"][sel],
+        np.tile(np.float32([0, 0, 1]), (len(sel), 1)),
+        np.zeros(len(sel), np.float32), np.full(len(sel), 30.0, np.float32),
+        feats_np["level"][sel], kf,
+    )
+    view = dt.build_map_view(cfg, m)
+    view = dt.set_ref_kf(view, m, kf)
+
+    step = pmesh.build_throughput_step(cfg, batch)
+    carry = pmesh.init_batched_carry(cfg, batch)
+    # each stream replays the same sequence with a different frame offset
+    stacks = [
+        jnp.asarray(
+            np.stack(
+                [
+                    dt.pack_frame(*frames[(i + s) % n_frames][1:])
+                    for s in range(batch)
+                ]
+            )
+        )
+        for i in range(n_frames)
+    ]
+    out, carry = step(stacks[0], carry, view)  # compile
+    jax.block_until_ready(out["T"])
+
+    n_timed = 8
+    t0 = time.perf_counter()
+    for i in range(1, 1 + n_timed):
+        out, carry = step(stacks[i % n_frames], carry, view)
+    jax.block_until_ready(out["T"])
+    dt_s = time.perf_counter() - t0
+    fps = n_timed * batch / dt_s
+    print(
+        json.dumps(
+            {
+                "metric": f"slam_batched_replay_{batch}seq_frames_per_sec_640x480",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 200.0, 4),
+            }
+        )
+    )
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--throughput":
+        return bench_throughput(int(sys.argv[2]))
     import manhattanslam_tpu  # noqa: F401  (matmul precision + XLA cache)
     from manhattanslam_tpu.config import CameraConfig, SlamConfig
     from manhattanslam_tpu.datasets.synthetic import SyntheticSequence

@@ -42,6 +42,20 @@ def main() -> int:
         "--pipeline", action="store_true",
         help="overlap device compute with result pulls (1-frame latency)",
     )
+    ap.add_argument(
+        "--chunk", type=int, default=1, metavar="C",
+        help="scan C frames per device dispatch (one upload+pull per chunk)",
+    )
+    ap.add_argument(
+        "--photo", action="store_true",
+        help="with --synthetic: real-photograph textures + depth noise "
+             "(datasets/phototex.py)",
+    )
+    ap.add_argument(
+        "--trace", metavar="DIR", default=None,
+        help="capture a JAX profiler trace of the tracking loop into DIR "
+             "(view with tensorboard or xprof)",
+    )
     ap.add_argument("--out-prefix", default="")
     args = ap.parse_args()
 
@@ -63,7 +77,12 @@ def main() -> int:
                     width=args.width, height=args.height, bf=f * 0.075,
                 )
             )
-        seq = SyntheticSequence(n_frames=args.synthetic, cam=cfg.camera)
+        if args.photo:
+            from manhattanslam_tpu.datasets.phototex import PhotoSequence
+
+            seq = PhotoSequence(n_frames=args.synthetic, cam=cfg.camera)
+        else:
+            seq = SyntheticSequence(n_frames=args.synthetic, cam=cfg.camera)
         frames = (seq.frame(i) for i in range(len(seq)))
         n_frames = len(seq)
         gt_rows = seq.gt_rows()
@@ -90,20 +109,29 @@ def main() -> int:
         enable_surfels=not args.no_surfels,
         fast=not args.modular,
         pipeline=args.pipeline and not args.modular,
+        chunk=args.chunk if not args.modular else 1,
     )
 
     print(f"Tracking {n_frames} frames ({cfg.camera.width}x{cfg.camera.height}) ...")
     times = []
-    n_ok = 0
+    trace_ctx = None
+    if args.trace:
+        import jax
+
+        trace_ctx = jax.profiler.trace(args.trace)
+        trace_ctx.__enter__()
     for i, (t, gray, depth) in enumerate(frames):
         t0 = time.perf_counter()
         T = slam.track(gray, depth, t)
         times.append(time.perf_counter() - t0)
-        n_ok += T is not None
         if (i + 1) % 50 == 0:
             print(f"  frame {i+1}/{n_frames}  ({1.0/np.mean(times[-50:]):.1f} fps)")
 
     slam.shutdown()
+    if trace_ctx is not None:
+        trace_ctx.__exit__(None, None, None)
+        print(f"profiler trace written to {args.trace}")
+    n_ok = sum(not r.lost for r in slam.tracker.records)
     times = np.array(times)
     # manhattan_slam.cc:106-113 report format
     print("-------")

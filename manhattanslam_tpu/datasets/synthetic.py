@@ -27,6 +27,9 @@ class BoxRoom:
     size: tuple = (6.0, 3.0, 8.0)
     boxes: list = field(default_factory=lambda: [((1.0, 0.0, 5.0), (2.2, 1.2, 6.2))])
     seed: int = 7
+    # optional texture override: fn(u, v, face_id, seed) -> gray [0, 255]
+    # (datasets/phototex.py installs a real-photograph sampler here)
+    texture_fn: object = None
 
     def faces(self):
         """Returns list of (axis, sign, coord, lo2d, hi2d) rectangles.
@@ -126,7 +129,7 @@ def render_frame(
         )
         if not hit.any():
             continue
-        tex = _texture(u, v, fid, room.seed)
+        tex = (room.texture_fn or _texture)(u, v, fid, room.seed)
         gray = np.where(hit, tex, gray)
         best_t = np.where(hit, t, best_t)
 

@@ -219,14 +219,36 @@ def _mse_threshold(z: float) -> float:
 
 def merge_blocks(
     stats: dict, grid_shape: tuple[int, int], min_support: int,
+    angle_cos: float = 0.93, use_native: bool | None = None,
+) -> np.ndarray:
+    """Agglomerative min-MSE merging of the block graph (host) — the
+    exact PEAC AHC semantics (AHCPlaneFitter.hpp:939 ahCluster).
+
+    Dispatches to the C++ implementation (native/ahc_merge.cpp, ~100 us)
+    when the library is available; the pure-Python heap below is the
+    reference for the parity test (test_planes.py).  Returns label (B,)
+    int32: -1 unassigned, else segment id; only segments with >=
+    min_support points survive.
+    """
+    if use_native is not False:
+        from manhattanslam_tpu.ops import native
+
+        if native.have_native():
+            out = native.ahc_merge_native(
+                stats, grid_shape, min_support, angle_cos
+            )
+            if out is not None:
+                return out
+        if use_native:
+            raise RuntimeError("native AHC merge requested but unavailable")
+    return merge_blocks_py(stats, grid_shape, min_support, angle_cos)
+
+
+def merge_blocks_py(
+    stats: dict, grid_shape: tuple[int, int], min_support: int,
     angle_cos: float = 0.93,
 ) -> np.ndarray:
-    """Agglomerative min-MSE merging of the block graph (host).
-
-    stats: numpy-ified block_stats output.  Returns label (B,) int32:
-    -1 unassigned, else segment id; only segments with >= min_support
-    points survive.
-    """
+    """Pure-Python exact AHC merge (see merge_blocks)."""
     bh, bw = grid_shape
     B = bh * bw
     valid = np.asarray(stats["valid"])
@@ -493,11 +515,18 @@ def extract_planes(
     dist_th: float = 0.04,
     voxel: float = 0.2,
     stride: int = 2,
+    method: str = "device",
 ) -> dict:
-    """Host wrapper over the all-device pipeline: dispatches
-    extract_planes_device, then pulls coefficients + clouds in ONE batched
-    device_get.  `membership` stays a device array; convert with
-    np.asarray when needed (surfel insertion pulls it per keyframe only).
+    """Host wrapper: frame-plane extraction (Frame::ExtractPlanes).
+
+    method="device": the all-device pipeline (label-propagation merge,
+    zero mid-pipeline roundtrips) — the production path.
+    method="ahc": device block stats -> EXACT host AHC min-MSE merge
+    (AHCPlaneFitter.hpp:939 semantics; C++ native/ahc_merge.cpp when
+    built, pure-Python fallback) -> device refinement.  One extra
+    host<->device roundtrip; used to validate the device merge
+    (test_planes.py parity test) and as a drop-in when exact PEAC
+    behavior is wanted.
     """
     import jax
 
@@ -505,11 +534,36 @@ def extract_planes(
     w = depth.shape[1] // stride
     bh, bw = h // BLOCK, w // BLOCK
     min_support = int(min_support_frac * h * w)
-    dev = extract_planes_device(
-        jnp.asarray(depth), jnp.asarray(K), max_planes, max_points,
-        (bh, bw), jnp.float32(min_support), jnp.float32(dist_th), stride,
-    )
-    pk, cloud = jax.device_get((dev["packed"], dev["cloud"]))
+
+    if method == "ahc":
+        pts, packed_stats = plane_stage1(
+            jnp.asarray(depth), jnp.asarray(K), stride
+        )
+        stats = unpack_stats(np.asarray(packed_stats))
+        labels = merge_blocks(stats, (bh, bw), min_support)
+        # keep the max_planes largest segments (by point support)
+        n_blocks = stats["n"]
+        seg_ids = np.unique(labels[labels >= 0])
+        support = np.array(
+            [n_blocks[labels == s].sum() for s in seg_ids]
+        )
+        order = np.argsort(-support)[:max_planes]
+        remap = np.full(labels.max() + 2 if labels.size else 1, -1, np.int32)
+        for new_id, k in enumerate(order):
+            remap[seg_ids[k]] = new_id
+        block_plane = np.where(labels >= 0, remap[np.maximum(labels, 0)], -1)
+        membership, pk_d, cloud_d = plane_stage2(
+            pts, jnp.asarray(block_plane.reshape(bh, bw).astype(np.int32)),
+            jnp.float32(dist_th), max_planes, max_points,
+        )
+        pk, cloud = jax.device_get((pk_d, cloud_d))
+    else:
+        dev = extract_planes_device(
+            jnp.asarray(depth), jnp.asarray(K), max_planes, max_points,
+            (bh, bw), jnp.float32(min_support), jnp.float32(dist_th), stride,
+        )
+        pk, cloud = jax.device_get((dev["packed"], dev["cloud"]))
+        membership = dev["membership"]
     n_support = pk[:, 4].astype(np.int32)
     return {
         "coeffs": pk[:, :4].astype(np.float32),
@@ -517,89 +571,5 @@ def extract_planes(
         "n_pts": pk[:, 7].astype(np.int32),
         "n_support": n_support,
         "valid": (pk[:, 5] > 0.5) & (n_support >= min_support),
-        "membership": dev["membership"],  # device array
+        "membership": membership,  # device array (device method)
     }
-
-
-def extract_planes_reference_python(
-    depth: np.ndarray,
-    K: np.ndarray,
-    max_planes: int,
-    max_points: int,
-    min_support_frac: float = 0.04,
-    dist_th: float = 0.04,
-    voxel: float = 0.2,
-    stride: int = 2,
-) -> dict:
-    """Full frame-plane extraction (Frame::ExtractPlanes equivalent).
-
-    Returns dict with coeffs (P,4) camera-frame (Plane3D-normalized),
-    cloud (P,max_points,3), n_pts (P,), n_support (P,), valid (P,),
-    membership (h/stride, w/stride) int32 (-1 = no plane) for surfel
-    plane-pixel exclusion.
-    """
-    pts = np.asarray(depth_to_points(jnp.asarray(depth), jnp.asarray(K), stride))
-    h, w, _ = pts.shape
-    stats = block_stats(jnp.asarray(pts))
-    stats_np = {k: np.asarray(v) for k, v in stats.items()}
-    min_support = int(min_support_frac * h * w)
-    bh, bw = h // BLOCK, w // BLOCK
-    labels = merge_blocks(stats_np, (bh, bw), min_support)
-
-    membership = np.full((h, w), -1, np.int32)
-    block_label = labels.reshape(bh, bw)
-    membership[: bh * BLOCK, : bw * BLOCK] = np.repeat(
-        np.repeat(block_label, BLOCK, 0), BLOCK, 1
-    )
-
-    out = {
-        "coeffs": np.zeros((max_planes, 4), np.float32),
-        "cloud": np.zeros((max_planes, max_points, 3), np.float32),
-        "n_pts": np.zeros(max_planes, np.int32),
-        "n_support": np.zeros(max_planes, np.int32),
-        "valid": np.zeros(max_planes, bool),
-        "membership": membership,
-    }
-    n_seg = labels.max() + 1 if labels.size else 0
-    kept = 0
-    finite = np.isfinite(pts[..., 2])
-    for s in range(int(n_seg)):
-        if kept >= max_planes:
-            break
-        mask = (membership == s) & finite
-        pp = pts[mask]
-        if len(pp) < min_support:
-            continue
-        # LS fit + outlier rejection + refit (SAC-refit equivalent,
-        # Frame.cc:662-709 MaxPointDistanceFromPlane)
-        nrm, d, _ = _seg_plane(len(pp), pp.sum(0), pp.T @ pp)
-        dist = np.abs(pp @ nrm + d)
-        inl = dist < dist_th
-        if inl.mean() < 0.8:
-            continue
-        ppi = pp[inl]
-        nrm, d, _ = _seg_plane(len(ppi), ppi.sum(0), ppi.T @ ppi)
-        if np.abs(ppi @ nrm + d).max() > dist_th * 1.5:
-            continue
-        # membership refinement: drop pixels too far from the fit
-        far = mask & (np.abs(pts @ nrm + d) > dist_th)
-        membership[far] = -1
-
-        # voxel downsample (0.2 m, Frame.cc:636-641) with cap
-        key = np.floor(ppi / voxel).astype(np.int64)
-        _, keep_idx = np.unique(key, axis=0, return_index=True)
-        cloud = ppi[np.sort(keep_idx)]
-        if len(cloud) > max_points:
-            sel = np.linspace(0, len(cloud) - 1, max_points).astype(int)
-            cloud = cloud[sel]
-
-        coeffs = np.array([nrm[0], nrm[1], nrm[2], d], np.float32)
-        if coeffs[3] < 0:  # Plane3D::normalize convention (w >= 0)
-            coeffs = -coeffs
-        out["coeffs"][kept] = coeffs
-        out["cloud"][kept, : len(cloud)] = cloud
-        out["n_pts"][kept] = len(cloud)
-        out["n_support"][kept] = len(ppi)
-        out["valid"][kept] = True
-        kept += 1
-    return out

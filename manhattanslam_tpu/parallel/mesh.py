@@ -99,14 +99,17 @@ def build_throughput_step(cfg: SlamConfig, batch: int):
     batching B sequences costs nearly the same wall time as one — the
     throughput win is ~B-fold.
 
-    Returns step(gray (B,H,W), depth (B,H,W), carry (batched), view
-    (shared)) -> (batched result summary, batched carry).
+    Returns step(packed (B,H,3W) uint8 — see device_tracker.pack_frame,
+    carry (batched), view (shared)) -> (batched result summary, batched
+    carry).
     """
     from manhattanslam_tpu.frontend import device_tracker as dt
 
     inner = dt.build_frame_body(cfg, use_pallas=False)  # pallas cannot vmap
+    w = cfg.camera.width
 
-    def one(gray, depth, carry, view):
+    def one(packed, carry, view):
+        gray, depth = dt.unpack_frame(packed, w)
         result, new_carry = inner(gray, depth, carry, view)
         keep = {
             k: result[k]
@@ -117,7 +120,7 @@ def build_throughput_step(cfg: SlamConfig, batch: int):
         }
         return keep, new_carry
 
-    batched = jax.vmap(one, in_axes=(0, 0, 0, None))
+    batched = jax.vmap(one, in_axes=(0, 0, None))
     return jax.jit(batched)
 
 

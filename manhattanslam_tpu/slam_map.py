@@ -82,7 +82,6 @@ class SlamMap:
         # MFm construction, Tracking.cc:731-738)
         self.kf_plane_coeffs = np.zeros((KF, c.max_planes_frame, 4), np.float32)
         self.kf_plane_npts = np.zeros((KF, c.max_planes_frame), np.int32)
-        self.kf_bow = None  # lazily sized (KF, vocab) float32 for reloc
 
         # covisibility weight matrix (shared map points, KeyFrame.cc:273)
         self.covis = np.zeros((KF, KF), np.int32)

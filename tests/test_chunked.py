@@ -104,3 +104,19 @@ def test_incremental_view_matches_full_rebuild(small_cfg):
     live = jax.device_get(tr.view)
     for k in fresh:
         assert np.array_equal(np.asarray(live[k]), fresh[k]), k
+
+
+def test_chunked_pipelined_bench_config(small_cfg):
+    """The exact bench.py configuration (fast + pipeline + chunk) tracks a
+    sequence end-to-end through flush()."""
+    seq = SyntheticSequence(n_frames=13, cam=small_cfg.camera, view="corner")
+    sys = System(small_cfg, fast=True, pipeline=True, chunk=4,
+                 enable_surfels=False)
+    for i in range(len(seq)):
+        t, gray, depth = seq.frame(i)
+        sys.track(gray, depth, t)
+    sys.shutdown()
+    recs = sys.tracker.records
+    assert len(recs) == len(seq)
+    assert sum(not r.lost for r in recs) >= len(seq) - 1
+    assert sys.map.n_kf >= 1

@@ -55,3 +55,60 @@ def test_batched_track_step_runs(small_cfg, rng):
     assert np.isfinite(np.asarray(out["T"])).all()
     # with no landmarks the pose must remain the seed
     np.testing.assert_allclose(np.asarray(out["T"][0]), np.eye(4), atol=1e-5)
+
+
+def test_throughput_step_matches_unbatched(small_cfg):
+    """build_throughput_step (BASELINE config 5: batched multi-sequence
+    replay) is a pure vmap of the fused frame body: per-sequence outputs
+    must equal the unbatched run."""
+    from manhattanslam_tpu.datasets.synthetic import SyntheticSequence
+    from manhattanslam_tpu.frontend import device_tracker as dt
+    from manhattanslam_tpu.slam_map import SlamMap
+
+    B = 2
+    seq = SyntheticSequence(n_frames=B + 1, cam=small_cfg.camera, view="corner")
+    m = SlamMap(small_cfg)
+    # a map view built from frame 0 (one keyframe with its points)
+    body = dt.build_frame_body(small_cfg, use_pallas=False)
+    g0, d0 = seq.frame(0)[1:]
+    import jax.numpy as jnp
+
+    feats0, _ = None, None
+    carry0 = dt.init_carry(small_cfg)
+    view0 = dt.build_map_view(small_cfg, m)
+    view0 = dt.set_ref_kf(view0, m, 0)
+    r0, _ = jax.jit(body)(jnp.asarray(g0), jnp.asarray(d0), carry0, view0)
+    feats_np = jax.device_get(r0["feats"])
+    kf = m.add_keyframe(np.eye(4, dtype=np.float32), 0.0, 0, feats_np)
+    # back-project some points into the map
+    from manhattanslam_tpu.frontend.frame import backproject_keypoints
+
+    pts_c = np.asarray(backproject_keypoints(r0["feats"], small_cfg))
+    sel = np.nonzero(feats_np["valid"] & (feats_np["depth"] > 0))[0][:300]
+    ids = m.add_points(
+        pts_c[sel],
+        feats_np["desc"][sel],
+        np.tile(np.float32([0, 0, 1]), (len(sel), 1)),
+        np.zeros(len(sel), np.float32),
+        np.full(len(sel), 20.0, np.float32),
+        feats_np["level"][sel], kf,
+    )
+    view = dt.build_map_view(small_cfg, m)
+    view = dt.set_ref_kf(view, m, kf)
+
+    grays = np.stack([seq.frame(1 + i)[1] for i in range(B)])
+    depths = np.stack([seq.frame(1 + i)[2] for i in range(B)])
+    packed = np.stack([dt.pack_frame(grays[i], depths[i]) for i in range(B)])
+    step = pmesh.build_throughput_step(small_cfg, B)
+    carry_b = pmesh.init_batched_carry(small_cfg, B)
+    out_b, carry_b2 = step(jnp.asarray(packed), carry_b, view)
+    out_b = jax.device_get(out_b)
+
+    W = small_cfg.camera.width
+    for i in range(B):
+        gi, di = dt.unpack_frame(jnp.asarray(packed[i]), W)
+        ri, _ = jax.jit(body)(gi, di, dt.init_carry(small_cfg), view)
+        np.testing.assert_allclose(
+            out_b["T"][i], np.asarray(ri["T"]), atol=1e-4
+        )
+        assert int(out_b["n_inliers"][i]) == int(ri["n_inliers"])

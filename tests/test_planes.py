@@ -91,3 +91,62 @@ def test_no_planes_in_noise(rng):
         depth, K_of(160.0, 159.5, 119.5), max_planes=8, max_points=128,
     )
     assert out["valid"].sum() == 0
+
+
+def _block_stats_np(depth, K):
+    pts = plane_ops.depth_to_points(jnp.asarray(depth), jnp.asarray(K))
+    st = plane_ops.block_stats(pts)
+    return {k: np.asarray(v) for k, v in st.items()}, pts
+
+
+def _partition_equal(la, lb):
+    """Two labelings describe the same partition (up to renaming)?"""
+    assert la.shape == lb.shape
+    if (la < 0).sum() != (lb < 0).sum() or ((la < 0) != (lb < 0)).any():
+        return False
+    fwd, bwd = {}, {}
+    for a, b in zip(la[la >= 0], lb[lb >= 0]):
+        if fwd.setdefault(a, b) != b or bwd.setdefault(b, a) != a:
+            return False
+    return True
+
+
+def test_native_ahc_matches_python(synthetic_seq):
+    """The C++ AHC merge (native/ahc_merge.cpp) produces the same
+    partition as the pure-Python exact merge."""
+    from manhattanslam_tpu.ops import native
+
+    if not native.have_native():
+        pytest.skip("native library unavailable")
+    t, gray, depth = synthetic_seq.frame(0)
+    cam = synthetic_seq.cam
+    st, _ = _block_stats_np(depth, K_of(cam.fx, cam.cx, cam.cy))
+    h, w = depth.shape[0] // 2, depth.shape[1] // 2
+    grid = (h // plane_ops.BLOCK, w // plane_ops.BLOCK)
+    min_support = int(0.04 * h * w)
+    lab_py = plane_ops.merge_blocks_py(st, grid, min_support)
+    lab_cc = plane_ops.merge_blocks(st, grid, min_support, use_native=True)
+    assert _partition_equal(lab_py, lab_cc), "native/python AHC diverge"
+
+
+def test_device_merge_matches_exact_ahc(synthetic_seq):
+    """Quantified divergence of the device label-propagation merge vs the
+    exact AHC merge (SURVEY.md section 7 hard-part 2): on box-room depth,
+    every major AHC plane must have a device counterpart within 3 deg /
+    3 cm, and the plane COUNTS must agree."""
+    t, gray, depth = synthetic_seq.frame(0)
+    cam = synthetic_seq.cam
+    K = K_of(cam.fx, cam.cx, cam.cy)
+    dev = plane_ops.extract_planes(depth, K, 8, 256, method="device")
+    ahc = plane_ops.extract_planes(depth, K, 8, 256, method="ahc")
+    na = int(ahc["valid"].sum())
+    nd = int(dev["valid"].sum())
+    assert na >= 2
+    assert nd == na, f"device {nd} planes vs exact AHC {na}"
+    ca = ahc["coeffs"][ahc["valid"]]
+    cd = dev["coeffs"][dev["valid"]]
+    for c in ca:
+        cos = np.abs(cd[:, :3] @ c[:3])
+        d_diff = np.abs(cd[:, 3] - c[3])
+        cand = (cos > np.cos(np.radians(3.0))) & (d_diff < 0.03)
+        assert cand.any(), f"no device match for {c} (cos={cos}, dd={d_diff})"
