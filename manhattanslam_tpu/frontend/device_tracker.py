@@ -436,7 +436,12 @@ def unpack_frame(packed: jnp.ndarray, w: int):
 
 
 # --------------------------------------------------------------- the step
-def build_frame_body(cfg: SlamConfig, use_pallas: bool | None = None):
+def build_frame_body(
+    cfg: SlamConfig,
+    use_pallas: bool | None = None,
+    enable_planes: bool = True,
+    enable_lines: bool = True,
+):
     """Returns the UNJITTED body(gray, depth, carry, view) -> (result,
     new_carry).  build_frame_step / build_chunk_step / the batched replay
     wrap this in jit / lax.scan / vmap.
@@ -444,6 +449,9 @@ def build_frame_body(cfg: SlamConfig, use_pallas: bool | None = None):
     carry: {T_last (4,4), velocity (4,4), have_velocity (), prev_* banks}
     on device.  use_pallas=False forces the jnp FAST path (required under
     vmap: the Pallas kernel's full-array block spec does not batch).
+    enable_planes/enable_lines=False compile those subsystems out of the
+    step (outputs keep their shapes, zeroed) — the fused analog of the
+    System flags honored by the modular tracker.
     """
     extract = build_extractor(cfg, use_pallas)
     params = lm.default_params(cfg)
@@ -520,32 +528,27 @@ def build_frame_body(cfg: SlamConfig, use_pallas: bool | None = None):
 
         def solve_proj(
             T0, radius, plane_obs, line_obs, translation_only=False,
-            n_rounds=4, n_iters=8,
+            n_rounds=4, n_iters=8, gauss_newton=False,
         ):
             return tracking_ops.track_projection(
                 mp_view, T0, feats, K, bf, params, radius, hw,
                 plane_obs, line_obs, scale_factor=sf, n_levels=nl,
                 translation_only=translation_only, use_scale_gate=True,
                 n_rounds=n_rounds, n_iters=n_iters,
+                gauss_newton=gauss_newton,
             )
 
         # --- candidate solves (no structural residuals; short LM schedule —
-        # the final solve below does the full 4-round polish).  Motion-model
-        # search at radius 7 px, then the reference's widened 2x retry when
-        # matches are thin (TrackWithMotionModel, Tracking.cc:1243-1348) —
-        # the retry branch only executes when taken (lax.cond).
-        out_a = solve_proj(
-            T_seed, jnp.float32(7.0), empty_planes, empty_lines,
-            n_rounds=2, n_iters=6,
-        )
-        out_ab = jax.lax.cond(
-            out_a["n_matches"] >= 20,
-            lambda _: out_a,
-            lambda _: solve_proj(
-                T_seed, jnp.float32(14.0), empty_planes, empty_lines,
-                n_rounds=2, n_iters=6,
-            ),
-            operand=None,
+        # the final solve below does the full 4-round polish).  The
+        # motion-model projection candidate (TrackWithMotionModel,
+        # Tracking.cc:1243-1348) and the ref-KF descriptor candidate
+        # (TrackReferenceKeyFrame, :1146-1241) share ONE vmapped LM loop:
+        # both problems are keypoint-indexed with identical shapes, so the
+        # two sequential solves collapse into a batch of 2.
+        prob_a, aux_a = tracking_ops.projection_problem(
+            mp_view, T_seed, feats, K, jnp.float32(7.0), hw,
+            empty_planes, empty_lines, scale_factor=sf, n_levels=nl,
+            use_scale_gate=True,
         )
         ref_view = {
             "pos": view["mp_pos"][jnp.maximum(view["ref_mp"], 0)],
@@ -553,75 +556,135 @@ def build_frame_body(cfg: SlamConfig, use_pallas: bool | None = None):
             "valid": (view["ref_mp"] >= 0)
             & view["mp_valid"][jnp.maximum(view["ref_mp"], 0)],
         }
-        # short LM schedule like the other candidates — the final solve
-        # below does the full polish
-        out_c = tracking_ops.track_descriptors(
-            ref_view, carry["T_last"], feats, view["ref_angle"], K, bf, params,
-            empty_planes, empty_lines, n_rounds=2, n_iters=6,
+        prob_c, _, _ = tracking_ops.descriptor_problem(
+            ref_view, feats, view["ref_angle"], empty_planes, empty_lines
         )
-        ok_ab = (out_ab["n_pt_inliers"] >= 10) & carry["have_velocity"]
-        ok_c = out_c["n_pt_inliers"] >= 10
-        T_init = jnp.where(ok_ab, out_ab["T"], out_c["T"])
-        init_ok = ok_ab | ok_c
+        probs = jax.tree.map(lambda a, c: jnp.stack([a, c]), prob_a, prob_c)
+        outs = jax.vmap(
+            lambda p, t: lm.solve_pose(
+                p, t, K, bf, params, n_rounds=2, n_iters=6,
+                gauss_newton=True,
+            )
+        )(probs, jnp.stack([T_seed, carry["T_last"]]))
+        n_pt = jnp.sum(outs["inlier_mono"] | outs["inlier_st"], axis=1)
 
-        # --- planes at the refined pose ---
-        planes = plane_ops.extract_planes_device(
-            depth, K, P, cfg.caps.max_plane_points, grid_shape, min_support,
-            jnp.float32(pc.distance_threshold),
-        )
-        assoc, par, ver = associate_planes_device(
-            planes["coeffs"], planes["valid"], T_init, view,
-            jnp.float32(pc.association_ang_ref),
-            jnp.float32(pc.association_dis_ref),
-            jnp.float32(pc.vertical_threshold),
-            jnp.float32(pc.parallel_threshold),
-        )
-        man_R, man_found = detect_manhattan_device(
-            planes["coeffs"], planes["n_support"].astype(jnp.int32),
-            planes["valid"], assoc, view, jnp.float32(pc.mf_vertical_threshold),
-        )
-        plane_obs = build_plane_obs_device(planes["coeffs"], assoc, par, ver, view)
-
-        # --- lines ---
-        det = line_ops.detect_lines(gray, cfg.caps.max_lines)
-        ldesc = line_ops.line_descriptors(gray, det["sp"], det["ep"])
-        lifted = line_ops.lift_lines_3d(
-            depth, K, det["sp"], det["ep"], det["valid"]
-        )
-        l_assoc, ml_visible = associate_lines_device(
-            det, ldesc, T_init, view, K, image_hw=hw
-        )
-        line_obs = build_line_obs_device(det, l_assoc, view)
-
-        # --- Manhattan decoupled translation-only re-solve ---
-        T_manh = T_init.at[:3, :3].set(man_R)
-        out_t = solve_proj(
-            T_manh, jnp.float32(7.0), plane_obs, empty_lines,
-            translation_only=True, n_rounds=2, n_iters=6,
-        )
-        ok_t = out_t["n_pt_inliers"] >= 10
-        # motion-model translation failed with a Manhattan rotation in
-        # hand: the reference retries against the reference keyframe by
-        # descriptors before abandoning the rotation (TranslationEstimation,
-        # Tracking.cc:846-944) — only executed when needed (lax.cond)
-        def _ref_translation(_):
-            o = tracking_ops.track_descriptors(
-                ref_view, T_manh, feats, view["ref_angle"], K, bf, params,
-                plane_obs, empty_lines, translation_only=True,
-                n_rounds=2, n_iters=6,
+        # the reference's widened 2x retry when motion-model matches are
+        # thin — the retry branch only executes when taken (lax.cond)
+        def _retry(_):
+            o = solve_proj(
+                T_seed, jnp.float32(14.0), empty_planes, empty_lines,
+                n_rounds=2, n_iters=6, gauss_newton=True,
             )
             return {"T": o["T"], "n": o["n_pt_inliers"]}
 
-        out_t2 = jax.lax.cond(
-            man_found & ~ok_t,
-            _ref_translation,
-            lambda _: {"T": T_manh, "n": jnp.int32(0)},
+        out_ab = jax.lax.cond(
+            aux_a["n_matches"] >= 20,
+            lambda _: {"T": outs["T"][0], "n": n_pt[0]},
+            _retry,
             operand=None,
         )
-        use_manh = man_found & (ok_t | (out_t2["n"] >= 10))
-        T_mid = jnp.where(
-            use_manh, jnp.where(ok_t, out_t["T"], out_t2["T"]), T_init
-        )
+        ok_ab = (out_ab["n"] >= 10) & carry["have_velocity"]
+        ok_c = n_pt[1] >= 10
+        T_init = jnp.where(ok_ab, out_ab["T"], outs["T"][1])
+        init_ok = ok_ab | ok_c
+
+        # --- planes at the refined pose ---
+        if enable_planes:
+            planes = plane_ops.extract_planes_device(
+                depth, K, P, cfg.caps.max_plane_points, grid_shape,
+                min_support, jnp.float32(pc.distance_threshold),
+            )
+            assoc, par, ver = associate_planes_device(
+                planes["coeffs"], planes["valid"], T_init, view,
+                jnp.float32(pc.association_ang_ref),
+                jnp.float32(pc.association_dis_ref),
+                jnp.float32(pc.vertical_threshold),
+                jnp.float32(pc.parallel_threshold),
+            )
+            man_R, man_found = detect_manhattan_device(
+                planes["coeffs"], planes["n_support"].astype(jnp.int32),
+                planes["valid"], assoc, view,
+                jnp.float32(pc.mf_vertical_threshold),
+            )
+            plane_obs = build_plane_obs_device(
+                planes["coeffs"], assoc, par, ver, view
+            )
+        else:
+            planes = {
+                "coeffs": jnp.zeros((P, 4)),
+                "valid": jnp.zeros(P, bool),
+                "n_support": jnp.zeros(P),
+                "membership": jnp.full((h2, w2), -1, jnp.int32),
+                "cloud": jnp.zeros((P, cfg.caps.max_plane_points, 3)),
+                "n_pts": jnp.zeros(P, jnp.int32),
+            }
+            assoc = par = ver = jnp.full(P, -1, jnp.int32)
+            man_R = jnp.eye(3)
+            man_found = jnp.bool_(False)
+            plane_obs = empty_planes
+
+        # --- lines ---
+        if enable_lines:
+            det = line_ops.detect_lines(gray, cfg.caps.max_lines)
+            ldesc = line_ops.line_descriptors(gray, det["sp"], det["ep"])
+            lifted = line_ops.lift_lines_3d(
+                depth, K, det["sp"], det["ep"], det["valid"]
+            )
+            l_assoc, ml_visible = associate_lines_device(
+                det, ldesc, T_init, view, K, image_hw=hw
+            )
+            line_obs = build_line_obs_device(det, l_assoc, view)
+        else:
+            L = cfg.caps.max_lines
+            det = {
+                "sp": jnp.zeros((L, 2)), "ep": jnp.zeros((L, 2)),
+                "valid": jnp.zeros(L, bool),
+            }
+            ldesc = jnp.zeros((L, line_ops.DESC_DIM))
+            lifted = {
+                "sp3": jnp.zeros((L, 3)), "ep3": jnp.zeros((L, 3)),
+                "ok": jnp.zeros(L, bool),
+            }
+            l_assoc = jnp.full(L, -1, jnp.int32)
+            ml_visible = jnp.zeros(view["ml_sp"].shape[0], bool)
+            line_obs = empty_lines
+
+        # --- Manhattan decoupled translation-only re-solve ---
+        if enable_planes:
+            T_manh = T_init.at[:3, :3].set(man_R)
+            out_t = solve_proj(
+                T_manh, jnp.float32(7.0), plane_obs, empty_lines,
+                translation_only=True, n_rounds=2, n_iters=6,
+                gauss_newton=True,
+            )
+            ok_t = out_t["n_pt_inliers"] >= 10
+
+            # motion-model translation failed with a Manhattan rotation in
+            # hand: the reference retries against the reference keyframe by
+            # descriptors before abandoning the rotation
+            # (TranslationEstimation, Tracking.cc:846-944) — only executed
+            # when needed (lax.cond)
+            def _ref_translation(_):
+                o = tracking_ops.track_descriptors(
+                    ref_view, T_manh, feats, view["ref_angle"], K, bf,
+                    params, plane_obs, empty_lines, translation_only=True,
+                    n_rounds=2, n_iters=6, gauss_newton=True,
+                )
+                return {"T": o["T"], "n": o["n_pt_inliers"]}
+
+            out_t2 = jax.lax.cond(
+                man_found & ~ok_t,
+                _ref_translation,
+                lambda _: {"T": T_manh, "n": jnp.int32(0)},
+                operand=None,
+            )
+            use_manh = man_found & (ok_t | (out_t2["n"] >= 10))
+            T_mid = jnp.where(
+                use_manh, jnp.where(ok_t, out_t["T"], out_t2["T"]), T_init
+            )
+        else:
+            use_manh = jnp.bool_(False)
+            T_mid = T_init
 
         # --- final full solve with structural residuals ---
         out_f = solve_proj(T_mid, jnp.float32(4.0), plane_obs, line_obs)
@@ -689,15 +752,23 @@ def build_frame_body(cfg: SlamConfig, use_pallas: bool | None = None):
             "ml_visible": ml_visible,
             "feats": feats,
         }
+        # bit-packed copies of the wide bool masks for the summary pull
+        for k in PACKED_KEYS:
+            result[k + "_bits"] = pack_bool_bits(result[k])
         return result, new_carry
 
     return step
 
 
-def build_frame_step(cfg: SlamConfig, use_pallas: bool | None = None):
+def build_frame_step(
+    cfg: SlamConfig,
+    use_pallas: bool | None = None,
+    enable_planes: bool = True,
+    enable_lines: bool = True,
+):
     """Returns jitted step(packed (H,3W) u8, carry, view) -> (result,
     new_carry) — one fused device program per frame."""
-    body = build_frame_body(cfg, use_pallas)
+    body = build_frame_body(cfg, use_pallas, enable_planes, enable_lines)
     w = cfg.camera.width
 
     @jax.jit
@@ -708,7 +779,12 @@ def build_frame_step(cfg: SlamConfig, use_pallas: bool | None = None):
     return step
 
 
-def build_chunk_step(cfg: SlamConfig, use_pallas: bool | None = None):
+def build_chunk_step(
+    cfg: SlamConfig,
+    use_pallas: bool | None = None,
+    enable_planes: bool = True,
+    enable_lines: bool = True,
+):
     """Returns jitted chunk(packed (C,H,3W) u8, carry, view) ->
     (stacked results (C leading axis), final carry).
 
@@ -721,7 +797,7 @@ def build_chunk_step(cfg: SlamConfig, use_pallas: bool | None = None):
     keyframe machinery runs at chunk boundaries — the same latency class
     as the reference's asynchronous LocalMapping thread.
     """
-    body = build_frame_body(cfg, use_pallas)
+    body = build_frame_body(cfg, use_pallas, enable_planes, enable_lines)
     w = cfg.camera.width
 
     @jax.jit
@@ -757,11 +833,34 @@ def init_carry(cfg: SlamConfig, T0: np.ndarray | None = None) -> dict:
 SUMMARY_KEYS = (
     "T", "tracked_ok", "n_inliers", "n_matches", "tracked_close",
     "nontracked_close", "manhattan_found", "use_manhattan", "new_plane",
-    "kp_mp", "matched", "visible", "plane_assoc", "plane_valid",
-    "line_assoc", "ml_visible",
+    "kp_mp", "plane_assoc", "plane_valid", "line_assoc",
 )
+
+# wide per-landmark bool masks ride the tunnel bit-packed (8x smaller
+# summary pulls; the download path is ~20x slower than upload here)
+PACKED_KEYS = ("matched", "visible", "ml_visible")
+
+
+def pack_bool_bits(mask: jnp.ndarray) -> jnp.ndarray:
+    """(..., N) bool -> (..., N//8) uint8, little-endian bit order."""
+    n = mask.shape[-1]
+    m = mask.reshape(*mask.shape[:-1], n // 8, 8).astype(jnp.uint8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return jnp.sum(m * weights, axis=-1, dtype=jnp.uint8)
 
 
 def pull_summary(result: dict) -> dict:
-    """One batched transfer of everything the host state machine needs."""
-    return jax.device_get({k: result[k] for k in SUMMARY_KEYS})
+    """One batched transfer of everything the host state machine needs.
+
+    The wide bool masks come over as the `*_bits` outputs packed by the
+    step program itself (no extra dispatch) and are unpacked on host.
+    """
+    sub = {k: result[k] for k in SUMMARY_KEYS}
+    for k in PACKED_KEYS:
+        sub[k] = result[k + "_bits"]
+    out = jax.device_get(sub)
+    for k in PACKED_KEYS:
+        out[k] = np.unpackbits(
+            out[k], axis=-1, bitorder="little"
+        ).astype(bool)
+    return out

@@ -31,19 +31,27 @@ class FastTracker:
         slam_map: SlamMap,
         pipeline: bool = False,
         chunk: int = 1,
+        enable_planes: bool = True,
+        enable_lines: bool = True,
     ):
         self.cfg = cfg
         self.map = slam_map
         self.chunk = max(1, int(chunk))
+        self.enable_planes = enable_planes
+        self.enable_lines = enable_lines
         # chunk>1: C frames ride one upload + one lax.scan dispatch + one
         # summary pull (build_chunk_step), amortizing the host<->device
         # roundtrip latency C-fold; keyframe machinery runs at chunk
         # boundaries.  chunk=1: one fused dispatch per frame.
         if self.chunk > 1:
             self.step = None
-            self.chunk_step = dt.build_chunk_step(cfg)
+            self.chunk_step = dt.build_chunk_step(
+                cfg, enable_planes=enable_planes, enable_lines=enable_lines
+            )
         else:
-            self.step = dt.build_frame_step(cfg)
+            self.step = dt.build_frame_step(
+                cfg, enable_planes=enable_planes, enable_lines=enable_lines
+            )
             self.chunk_step = None
         self.carry = dt.init_carry(cfg)
         self.view = None  # device map view
@@ -410,6 +418,13 @@ class FastTracker:
                 continue
             j = int(payload["line_assoc"][i])
             if j >= 0 and m.ml_valid[j]:
+                if payload["line_has3d"][i]:
+                    m.observe_line(
+                        j,
+                        payload["line_sp3"][i] @ T_wc[:3, :3].T + T_wc[:3, 3],
+                        payload["line_ep3"][i] @ T_wc[:3, :3].T + T_wc[:3, 3],
+                        payload["line_desc"][i],
+                    )
                 m.ml_n_obs[j] += 1
             elif payload["line_has3d"][i] and n_new < max_new:
                 free = np.nonzero(~m.ml_valid)[0]

@@ -175,6 +175,13 @@ class LineModule:
                 continue
             j = int(self.assoc[i])
             if j >= 0:
+                if fl["has3d"][i]:
+                    m.observe_line(
+                        j,
+                        fl["sp3"][i] @ T_wc[:3, :3].T + T_wc[:3, 3],
+                        fl["ep3"][i] @ T_wc[:3, :3].T + T_wc[:3, 3],
+                        fl["desc"][i],
+                    )
                 m.ml_n_obs[j] += 1
             elif fl["has3d"][i] and n_new < max_new:
                 free = np.nonzero(~m.ml_valid)[0]

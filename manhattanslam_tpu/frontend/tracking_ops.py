@@ -102,35 +102,25 @@ def build_point_problem(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "image_hw", "scale_factor", "n_levels", "translation_only",
-        "use_scale_gate", "n_rounds", "n_iters",
-    ),
-)
-def track_projection(
+def projection_problem(
     pts: dict,
     T_seed: jnp.ndarray,
     feats: dict,
     K: jnp.ndarray,
-    bf: jnp.ndarray,
-    params: lm.SolveParams,
     radius: jnp.ndarray,
     image_hw: tuple[int, int],
     plane_obs: PlaneObs,
     line_obs: LineObs,
     scale_factor: float = 1.2,
     n_levels: int = 8,
-    translation_only: bool = False,
     use_scale_gate: bool = False,
-    n_rounds: int = 4,
-    n_iters: int = 10,
-) -> dict:
-    """Project landmark set `pts` with seed pose, match, solve.
+    cand_cap: int = 4096,
+) -> tuple[lm.PoseProblem, dict]:
+    """Projection matching -> keypoint-indexed PoseProblem (no solve).
 
-    pts: dict with pos/desc/valid (+ optional normal/min_dist/max_dist for
-    the local-map viewing gates).
+    All post-matching work stays in the frustum-compacted candidate set
+    (cand_cap wide) — the full bank only sees O(bank) projections and
+    O(cand) scatters, never a (bank x keypoints) tensor.
     """
     cam_center = -T_seed[:3, :3].T @ T_seed[:3, 3]
     dist_w = jnp.linalg.norm(pts["pos"] - cam_center[None], axis=-1)
@@ -152,32 +142,30 @@ def track_projection(
         pts["pos"], pts["desc"], pts["valid"], T_seed, feats, K, image_hw,
         radius=radius, max_dist=matching.TH_HIGH, scale_factor=scale_factor,
         point_levels=levels,
-        max_depth_ratio=depth_band, view_dirs=view,
+        max_depth_ratio=depth_band, view_dirs=view, cand_cap=cand_cap,
     )
+    n_kp = feats["desc"].shape[0]
+    n_bank = pts["pos"].shape[0]
+    c_bank = m["c_bank"]  # (CAND,) bank id, == n_bank for empty slots
+    c_kp = m["c_kp"]
+    c_ok = m["c_ok"]
+    c_safe = jnp.minimum(c_bank, n_bank - 1)
     if "rot_gate" in pts:
         # rotation-histogram filter over the gated subset (the temporal
         # last-frame block): ORBmatcher::SearchByProjection(Frame, Frame)
         # applies ComputeThreeMaxima to last-frame matches
         # (ORBmatcher.cc:548-678); map points carry no keypoint angle and
         # pass through untouched.
-        sub = pts["rot_gate"] & m["valid"]
+        gated = pts["rot_gate"][c_safe] & (c_bank < n_bank)
+        sub = gated & c_ok
         rot_ok = matching.rotation_consistency_mask(
-            pts["angle"], feats["angle"][m["kp_idx"]], sub
+            pts["angle"][c_safe], feats["angle"][c_kp], sub
         )
-        m["valid"] = jnp.where(pts["rot_gate"], rot_ok, m["valid"])
-    # compact the problem to keypoint-indexed arrays: the landmark bank can
-    # be 32x larger than the keypoint budget, and the LM iteration cost
-    # scales with the residual row count
-    n_kp = feats["desc"].shape[0]
-    n_bank = pts["pos"].shape[0]
-    bank_ids = jnp.arange(n_bank, dtype=jnp.int32)
-    # segment-max as a masked reduction (scatter-max costs ~0.3 ms on TPU;
-    # the fused compare+select+max-reduce over (n_bank, n_kp) is ~10x less)
-    hits = (m["kp_idx"][:, None] == jnp.arange(n_kp, dtype=jnp.int32)[None, :]) & (
-        m["valid"][:, None]
-    )
-    point_of_kp = jnp.max(
-        jnp.where(hits, bank_ids[:, None], -1), axis=0
+        c_ok = jnp.where(gated, rot_ok, c_ok)
+    # candidate -> keypoint scatter (one-to-one after conflict resolution)
+    tgt = jnp.where(c_ok, c_kp, n_kp)
+    point_of_kp = (
+        jnp.full(n_kp, -1, jnp.int32).at[tgt].max(c_bank, mode="drop")
     )
     matched_kp = point_of_kp >= 0
     pts_kp = pts["pos"][jnp.maximum(point_of_kp, 0)]
@@ -185,10 +173,25 @@ def track_projection(
         pts_kp, jnp.arange(n_kp, dtype=jnp.int32), matched_kp, feats,
         plane_obs, line_obs,
     )
-    out = lm.solve_pose(
-        prob, T_seed, K, bf, params, translation_only=translation_only,
-        n_rounds=n_rounds, n_iters=n_iters,
-    )
+    ok_bank = jnp.zeros(n_bank, bool).at[
+        jnp.where(c_ok, c_bank, n_bank)
+    ].set(True, mode="drop")
+    aux = {
+        "point_of_kp": point_of_kp,
+        "matched_kp": matched_kp,
+        "kp_idx": m["kp_idx"],
+        "match_valid": ok_bank,
+        "visible": m["z"] > 0,
+        "n_matches": jnp.sum(matched_kp),
+    }
+    return prob, aux
+
+
+def _projection_post(out: dict, aux: dict, n_bank: int) -> dict:
+    """Attach match bookkeeping to a solve result (shared by the tracker
+    variants)."""
+    point_of_kp = aux["point_of_kp"]
+    matched_kp = aux["matched_kp"]
     kp_inlier = out["inlier_mono"] | out["inlier_st"]  # per keypoint
     # per-keypoint matched map/bank id (post-inlier)
     kp_mp = jnp.where(kp_inlier, point_of_kp, -1)
@@ -201,17 +204,89 @@ def track_projection(
     out.update(
         kp_mp=kp_mp,
         kp_inlier=kp_inlier,
-        matched=m["valid"] & inlier_bank,
+        matched=aux["match_valid"] & inlier_bank,
         pt_inlier=inlier_bank,
-        kp_idx=m["kp_idx"],
-        n_matches=jnp.sum(matched_kp),
+        kp_idx=aux["kp_idx"],
+        n_matches=aux["n_matches"],
         n_pt_inliers=jnp.sum(kp_inlier & matched_kp),
-        visible=m["z"] > 0,
+        visible=aux["visible"],
     )
     return out
 
 
-@partial(jax.jit, static_argnames=("translation_only", "n_rounds", "n_iters"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "image_hw", "scale_factor", "n_levels", "translation_only",
+        "use_scale_gate", "n_rounds", "n_iters", "cand_cap", "gauss_newton",
+    ),
+)
+def track_projection(
+    pts: dict,
+    T_seed: jnp.ndarray,
+    feats: dict,
+    K: jnp.ndarray,
+    bf: jnp.ndarray,
+    params: lm.SolveParams,
+    radius: jnp.ndarray,
+    image_hw: tuple[int, int],
+    plane_obs: PlaneObs,
+    line_obs: LineObs,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    translation_only: bool = False,
+    use_scale_gate: bool = False,
+    n_rounds: int = 4,
+    n_iters: int = 10,
+    cand_cap: int = 4096,
+    gauss_newton: bool = False,
+) -> dict:
+    """Project landmark set `pts` with seed pose, match, solve.
+
+    pts: dict with pos/desc/valid (+ optional normal/min_dist/max_dist for
+    the local-map viewing gates).
+    """
+    prob, aux = projection_problem(
+        pts, T_seed, feats, K, radius, image_hw, plane_obs, line_obs,
+        scale_factor=scale_factor, n_levels=n_levels,
+        use_scale_gate=use_scale_gate, cand_cap=cand_cap,
+    )
+    out = lm.solve_pose(
+        prob, T_seed, K, bf, params, translation_only=translation_only,
+        n_rounds=n_rounds, n_iters=n_iters, gauss_newton=gauss_newton,
+    )
+    return _projection_post(out, aux, pts["pos"].shape[0])
+
+
+def descriptor_problem(
+    pts: dict,
+    feats: dict,
+    kf_angles: jnp.ndarray,
+    plane_obs: PlaneObs,
+    line_obs: LineObs,
+) -> tuple[lm.PoseProblem, jnp.ndarray, jnp.ndarray]:
+    """Pure-descriptor matching -> PoseProblem (no solve).
+
+    Returns (problem, kp_idx, matched) — ORBmatcher::SearchByBoW
+    semantics (NN ratio 0.7, TH_LOW, rotation-histogram filter) minus the
+    BoW bucketing, which the MXU does not need.
+    """
+    idx, dist, ok = matching.match_descriptors(
+        pts["desc"], feats["desc"], pts["valid"], feats["valid"],
+        max_dist=matching.TH_LOW, ratio=0.7,
+    )
+    ok = matching.rotation_consistency_mask(
+        kf_angles, feats["angle"][idx], ok
+    )
+    ok = matching.resolve_one_to_one(idx, dist, ok, feats["desc"].shape[0])
+    prob = build_point_problem(pts["pos"], idx, ok, feats, plane_obs, line_obs)
+    return prob, idx, ok
+
+
+@partial(
+    jax.jit,
+    static_argnames=("translation_only", "n_rounds", "n_iters", "gauss_newton"),
+)
 def track_descriptors(
     pts: dict,
     T_seed: jnp.ndarray,
@@ -225,6 +300,7 @@ def track_descriptors(
     translation_only: bool = False,
     n_rounds: int = 4,
     n_iters: int = 10,
+    gauss_newton: bool = False,
 ) -> dict:
     """SearchByBoW-style pure-descriptor matching + solve.
 
@@ -233,18 +309,12 @@ def track_descriptors(
     rotation-histogram filter) — minus the BoW bucketing, which the MXU
     does not need.
     """
-    idx, dist, ok = matching.match_descriptors(
-        pts["desc"], feats["desc"], pts["valid"], feats["valid"],
-        max_dist=matching.TH_LOW, ratio=0.7,
+    prob, idx, ok = descriptor_problem(
+        pts, feats, kf_angles, plane_obs, line_obs
     )
-    ok = matching.rotation_consistency_mask(
-        kf_angles, feats["angle"][idx], ok
-    )
-    ok = matching.resolve_one_to_one(idx, dist, ok, feats["desc"].shape[0])
-    prob = build_point_problem(pts["pos"], idx, ok, feats, plane_obs, line_obs)
     out = lm.solve_pose(
         prob, T_seed, K, bf, params, translation_only=translation_only,
-        n_rounds=n_rounds, n_iters=n_iters,
+        n_rounds=n_rounds, n_iters=n_iters, gauss_newton=gauss_newton,
     )
     pt_inlier = out["inlier_mono"] | out["inlier_st"]
     out.update(

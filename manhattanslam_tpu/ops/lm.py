@@ -311,7 +311,97 @@ def _weighted_flat(prob, params, masks, weights, T_cw, K, bf, rs=None):
     )
 
 
-@partial(jax.jit, static_argnames=("translation_only", "n_rounds", "n_iters"))
+def _point_jacobians(T_cw, prob: PoseProblem, K, bf, translation_only):
+    """Closed-form Jacobians of the point/stereo/line residual rows wrt
+    the pose increment xi (translation-first, left-multiplied retraction
+    T' = exp(xi) @ T, matching se3.exp_se3).
+
+    d pc/d xi at xi=0 is [I | -hat(pc)]; residuals are obs - pred for
+    points (negative projection Jacobian) and l . (u, v, 1) for lines
+    (positive).  Returns (Jm (Nm,2,dof), Js (Ns,3,dof), Jl (Nl,1,dof)).
+    The tiny plane families stay on jax.linearize.
+    """
+    fx, fy = K[0, 0], K[1, 1]
+    dof = 3 if translation_only else 6
+
+    def cam(pw):
+        return pw @ T_cw[:3, :3].T + T_cw[:3, 3]
+
+    def dpc_dxi(pc):
+        n = pc.shape[0]
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), (n, 3, 3))
+        if translation_only:
+            return eye
+        return jnp.concatenate([eye, -se3.hat(pc)], axis=-1)  # (N,3,6)
+
+    def duv_dpc(pc):
+        """(N,2,3) Jacobian of the projected (u, v) wrt camera point."""
+        z = pc[:, 2]
+        zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        zero = jnp.zeros_like(z)
+        row_u = jnp.stack([fx * zi, zero, -fx * pc[:, 0] * zi * zi], -1)
+        row_v = jnp.stack([zero, fy * zi, -fy * pc[:, 1] * zi * zi], -1)
+        return jnp.stack([row_u, row_v], -2)
+
+    # mono: r = obs - (u, v)
+    pc_m = cam(prob.mono_xw)
+    Jm = -(duv_dpc(pc_m) @ dpc_dxi(pc_m))  # (Nm,2,dof)
+
+    # stereo: r = obs - (u, v, u - bf/z)
+    pc_s = cam(prob.st_xw)
+    A_uv = duv_dpc(pc_s)
+    z = pc_s[:, 2]
+    zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    zero = jnp.zeros_like(z)
+    row_ur = A_uv[:, 0] + jnp.stack([zero, zero, bf * zi * zi], -1)
+    A_st = jnp.concatenate([A_uv, row_ur[:, None, :]], axis=-2)  # (Ns,3,3)
+    Js = -(A_st @ dpc_dxi(pc_s))
+
+    # line endpoint: r = l0*u + l1*v + l2 (positive sign)
+    pc_l = cam(prob.ln_xw)
+    A_uv_l = duv_dpc(pc_l)  # (Nl,2,3)
+    lrow = (
+        prob.ln_eq[:, 0:1, None] * A_uv_l[:, 0:1, :]
+        + prob.ln_eq[:, 1:2, None] * A_uv_l[:, 1:2, :]
+    )  # (Nl,1,3)
+    Jl = lrow @ dpc_dxi(pc_l)
+
+    del dof
+    return Jm, Js, Jl
+
+
+def _plane_rows_flat(T_cw, prob: PoseProblem, params, masks, weights):
+    """Weighted flat residual vector of the plane families only."""
+    m_pl, m_par, m_ver = masks
+    w_pl, w_par, w_ver = weights
+    pl_c = transform_plane_g2o(T_cw, prob.pl_w)
+    r_pl = plane_ominus(pl_c, prob.pl_obs)
+    par_c = transform_plane_g2o(T_cw, prob.par_w)
+    r_par = plane_ominus_par(par_c, prob.par_obs)
+    ver_c = transform_plane_g2o(T_cw, prob.ver_w)
+    r_ver = plane_ominus_ver(ver_c, prob.ver_obs)
+    sqrt_pl = jnp.sqrt(
+        jnp.stack([params.angle_info, params.angle_info, params.dis_info])
+    )
+
+    def guard(mask, wr):
+        return jnp.where(mask[:, None], wr, 0.0).ravel()
+
+    return jnp.concatenate(
+        [
+            guard(m_pl, r_pl * sqrt_pl[None] * w_pl[:, None]),
+            guard(m_par, r_par * jnp.sqrt(params.par_info) * w_par[:, None]),
+            guard(m_ver, r_ver * jnp.sqrt(params.ver_info) * w_ver[:, None]),
+        ]
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "translation_only", "n_rounds", "n_iters", "analytic", "gauss_newton",
+    ),
+)
 def solve_pose(
     prob: PoseProblem,
     T0: jnp.ndarray,
@@ -321,8 +411,20 @@ def solve_pose(
     translation_only: bool = False,
     n_rounds: int = 4,
     n_iters: int = 10,
+    analytic: bool = True,
+    gauss_newton: bool = False,
 ) -> dict:
-    """Run the 4x10 LM schedule.  Returns dict with T, inlier masks, chi2."""
+    """Run the 4x10 LM schedule.  Returns dict with T, inlier masks, chi2.
+
+    analytic=True (default) uses closed-form Jacobians for the
+    point/stereo/line rows (one primal pass + algebra instead of 6 JVP
+    tangent passes); the tiny plane families always go through
+    jax.linearize.  analytic=False keeps the all-AD path for parity
+    testing.  gauss_newton=True (requires analytic) drops the LM
+    accept/reject pass — use for short candidate schedules only.
+    """
+    if gauss_newton and not analytic:
+        raise ValueError("gauss_newton requires the analytic path")
     dof = 3 if translation_only else 6
 
     def retract(T, xi):
@@ -336,7 +438,7 @@ def solve_pose(
     )
 
     def run_round(T, masks, huber_on):
-        def lm_iter(carry, _):
+        def lm_iter_ad(carry, _):
             T, lam = carry
             # ONE primal residual evaluation shared by the IRLS weights and
             # the weighted residual vector (the residual stack is evaluated
@@ -366,8 +468,68 @@ def solve_pose(
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
             return (T, jnp.clip(lam, 1e-8, 1e6)), None
 
+        def lm_iter_an(carry, _):
+            T, lam = carry
+            rs = _residuals(T, prob, K, bf)
+            w = _robust_weights(prob, params, masks, huber_on, T, K, bf, rs=rs)
+            w_mono, w_st, w_ln, w_pl, w_par, w_ver = w
+            m_mono, m_st, m_ln, m_pl, m_par, m_ver = masks
+            r_mono, r_st, r_ln = rs[0], rs[1], rs[2]
+
+            # point/stereo/line rows: closed-form J, weighted + masked
+            Jm, Js, Jl = _point_jacobians(T, prob, K, bf, translation_only)
+
+            def acc(Jf, rf, wf, mf):
+                wm = jnp.where(mf, wf, 0.0)
+                Jw = Jf * wm[:, None, None]
+                rw = rf * wm[:, None]
+                Hf = jnp.einsum("nrd,nre->de", Jw, Jw)
+                gf = jnp.einsum("nrd,nr->d", Jw, rw)
+                cf = jnp.sum(rw * rw)
+                return Hf, gf, cf
+
+            Hm, gm, cm = acc(Jm, r_mono, w_mono, m_mono)
+            Hs, gs, cs = acc(Js, r_st, w_st, m_st)
+            Hl, gl, cl = acc(Jl, r_ln, w_ln, m_ln)
+
+            # plane families via linearize (<= 24 rows)
+            pm = (m_pl, m_par, m_ver)
+            pw_ = (w_pl, w_par, w_ver)
+
+            def pl_flat(T_):
+                return _plane_rows_flat(T_, prob, params, pm, pw_)
+
+            rp0, jvp_p = jax.linearize(
+                lambda xi: pl_flat(retract(T, xi)), jnp.zeros((dof,), T.dtype)
+            )
+            Jp = jax.vmap(jvp_p)(jnp.eye(dof, dtype=T.dtype)).T
+            H = Hm + Hs + Hl + Jp.T @ Jp
+            g = gm + gs + gl + Jp.T @ rp0
+            prev_cost = 0.5 * (cm + cs + cl + jnp.sum(rp0 * rp0))
+
+            step = -jnp.linalg.solve(H + lam * jnp.eye(dof, dtype=T.dtype), g)
+            T_new = retract(T, step)
+            if gauss_newton:
+                # damped GN: no accept/reject cost evaluation (one residual
+                # pass per iteration).  Fine for the candidate solves whose
+                # job is a rough init + inlier count; the final polish
+                # keeps full LM.
+                ok = jnp.all(jnp.isfinite(step)) & (
+                    jnp.linalg.norm(step) < 1.0
+                )
+                T = jnp.where(ok, T_new, T)
+                return (T, lam), None
+            rs_n = _residuals(T_new, prob, K, bf)
+            r_new = _weighted_flat(prob, params, masks, w, T_new, K, bf, rs=rs_n)
+            new_cost = 0.5 * jnp.sum(r_new * r_new)
+            accept = (new_cost < prev_cost) & jnp.all(jnp.isfinite(step))
+            T = jnp.where(accept, T_new, T)
+            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+            return (T, jnp.clip(lam, 1e-8, 1e6)), None
+
         (T, _), _ = jax.lax.scan(
-            lm_iter, (T, jnp.float32(1e-3)), None, length=n_iters
+            lm_iter_an if analytic else lm_iter_ad,
+            (T, jnp.float32(1e-3)), None, length=n_iters,
         )
         return T
 

@@ -147,6 +147,7 @@ def search_by_projection(
     level_tolerance: int = 1,
     max_depth_ratio: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     view_dirs: jnp.ndarray | None = None,
+    cand_cap: int = 4096,
 ) -> dict:
     """Project landmarks into the frame and match within a pixel radius.
 
@@ -155,7 +156,10 @@ def search_by_projection(
     variant).  Gates: positive depth, in-image, per-level search radius
     (radius * scale^level), optional scale-distance band and viewing-cos.
 
-    Returns dict(kp_idx (P,), dist (P,), valid (P,), proj_uv, z).
+    Returns dict(kp_idx (P,), dist (P,), valid (P,), proj_uv, z) at bank
+    level, plus the candidate-space results (c_bank, c_kp, c_dist, c_ok —
+    each (cand_cap,)) so callers can keep post-processing in the compact
+    frustum subset instead of the full bank.
     """
     h, w = image_hw
     uv, z = project_points(T_cw, pts_w, K)
@@ -185,7 +189,7 @@ def search_by_projection(
     # (candidates x keypoints) tensors — the bank can be 32x the number of
     # points actually in view, and HBM traffic scales with the product
     N = pts_w.shape[0]
-    CAND = min(4096, N)
+    CAND = min(cand_cap, N)
     if CAND < N:
         rank = jnp.cumsum(gate.astype(jnp.int32)) - 1
         slot = jnp.where(gate & (rank < CAND), rank, CAND)
@@ -223,7 +227,12 @@ def search_by_projection(
     kp_idx = jnp.zeros(N, jnp.int32).at[tgt].set(idx, mode="drop")
     dist_b = jnp.full(N, BIG, dist.dtype).at[tgt].set(dist, mode="drop")
     ok_b = jnp.zeros(N, bool).at[tgt].set(ok, mode="drop")
-    return {"kp_idx": kp_idx, "dist": dist_b, "valid": ok_b, "proj_uv": uv, "z": z}
+    return {
+        "kp_idx": kp_idx, "dist": dist_b, "valid": ok_b, "proj_uv": uv,
+        "z": z,
+        "c_bank": jnp.where(cand_valid, cand_idx, N),
+        "c_kp": idx, "c_dist": dist, "c_ok": ok,
+    }
 
 
 def predict_scale_level(

@@ -139,6 +139,47 @@ class SlamMap:
             mask = np.isin(self.kf_mp_idx[: self.n_kf], idx)
             self.kf_mp_idx[: self.n_kf][mask] = -1
 
+    # ---------------------------------------------------------------- lines
+    def observe_line(
+        self, j: int, sp_w: np.ndarray, ep_w: np.ndarray, desc: np.ndarray
+    ) -> None:
+        """Refine map line j with a new world-frame observation — the
+        MapLine::UpdateAverageDir + descriptor-refresh analog (reference
+        MapLine.h:65, MapLine.cpp): the direction and center are running
+        observation averages, the segment extent GROWS to cover every
+        observation projected on the refined direction, and the float
+        band descriptor tracks the observation mean (the float-descriptor
+        analog of the median-Hamming distinctive descriptor)."""
+        n = max(int(self.ml_n_obs[j]), 1)
+        d_old = self.ml_ep[j] - self.ml_sp[j]
+        len_old = float(np.linalg.norm(d_old))
+        if len_old < 1e-9:
+            self.ml_sp[j], self.ml_ep[j] = sp_w, ep_w
+            return
+        d_new = ep_w - sp_w
+        if float(d_new @ d_old) < 0:  # orient consistently
+            sp_w, ep_w, d_new = ep_w, sp_w, -d_new
+        dir_old = d_old / len_old
+        nn = float(np.linalg.norm(d_new))
+        if nn < 1e-9:
+            return
+        dir_new = d_new / nn
+        dir_avg = dir_old * n + dir_new
+        dir_avg = dir_avg / max(float(np.linalg.norm(dir_avg)), 1e-9)
+        c_old = 0.5 * (self.ml_sp[j] + self.ml_ep[j])
+        c_new = 0.5 * (sp_w + ep_w)
+        center = (c_old * n + c_new) / (n + 1)
+        # extent: cover all four endpoints along the averaged direction
+        ends = np.stack([self.ml_sp[j], self.ml_ep[j], sp_w, ep_w])
+        t = (ends - center) @ dir_avg
+        self.ml_sp[j] = (center + t.min() * dir_avg).astype(np.float32)
+        self.ml_ep[j] = (center + t.max() * dir_avg).astype(np.float32)
+        k = desc.shape[0]
+        mean = (self.ml_desc[j, :k] * n + desc) / (n + 1)
+        nm = float(np.linalg.norm(mean))
+        if nm > 1e-9:
+            self.ml_desc[j, :k] = (mean / nm).astype(np.float32)
+
     # --------------------------------------------------------------- planes
     def add_plane(self, coeffs: np.ndarray, pts: np.ndarray, kf_id: int) -> int:
         free = np.nonzero(~self.pl_valid)[0]

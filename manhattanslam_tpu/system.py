@@ -33,9 +33,10 @@ class System:
         chunk: int = 1,
     ):
         """fast=True uses the fused single-jit device tracker
-        (frontend/device_tracker.py): all subsystems always on, one
-        host<->device roundtrip per frame.  fast=False uses the modular
-        per-stage tracker (frontend/tracking.py) with per-subsystem toggles.
+        (frontend/device_tracker.py): one host<->device roundtrip per
+        frame, with enable_planes/enable_lines compiled into the step.
+        fast=False uses the modular per-stage tracker
+        (frontend/tracking.py) with per-subsystem module toggles.
         pipeline=True additionally overlaps device compute with the summary
         pull (one-frame result latency; fast mode only).  chunk=C scans C
         frames per device dispatch (one upload + one pull per chunk;
@@ -48,11 +49,14 @@ class System:
         self.fast = fast
         self.pipeline = pipeline
         self.chunk = chunk
+        self.enable_planes = enable_planes
+        self.enable_lines = enable_lines
         if fast:
             from manhattanslam_tpu.frontend.fast_tracking import FastTracker
 
             self.tracker = FastTracker(
-                self.cfg, self.map, pipeline=pipeline, chunk=chunk
+                self.cfg, self.map, pipeline=pipeline, chunk=chunk,
+                enable_planes=enable_planes, enable_lines=enable_lines,
             )
             enable_planes = enable_lines = False  # fused into the step
         else:
@@ -153,7 +157,9 @@ class System:
             from manhattanslam_tpu.frontend.fast_tracking import FastTracker
 
             tracker = FastTracker(
-                self.cfg, self.map, pipeline=self.pipeline, chunk=self.chunk
+                self.cfg, self.map, pipeline=self.pipeline, chunk=self.chunk,
+                enable_planes=self.enable_planes,
+                enable_lines=self.enable_lines,
             )
         else:
             tracker = Tracker(self.cfg, self.map)

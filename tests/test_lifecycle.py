@@ -214,3 +214,55 @@ def test_huber_superpixel_fit_resists_outliers(small_cfg):
         w_, v_ = np.linalg.eigh(c.T @ c)
         plain_cos = abs(v_[:, 0] @ np.array([0, 0, 1.0]))
         assert np.median(cos) >= plain_cos - 1e-6
+
+
+def test_observe_line_grows_extent_and_averages_direction(small_cfg):
+    """MapLine::UpdateAverageDir analog: a new observation of the same
+    physical line extends the segment to cover both observations, keeps
+    the direction stable under noise, and refreshes the descriptor toward
+    the observation mean."""
+    m = SlamMap(small_cfg)
+    free = 0
+    m.ml_sp[free] = [0.0, 0.0, 2.0]
+    m.ml_ep[free] = [1.0, 0.0, 2.0]
+    d0 = np.zeros(32, np.float32)
+    d0[:8] = 1.0
+    d0 /= np.linalg.norm(d0)
+    m.ml_desc[free] = d0
+    m.ml_valid[free] = True
+    m.ml_n_obs[free] = 1
+
+    # second observation: same line, shifted along its direction, slight
+    # angular noise, reversed endpoint order
+    sp2 = np.float32([1.8, 0.02, 2.0])
+    ep2 = np.float32([0.5, 0.0, 2.0])
+    d2 = np.zeros(8, np.float32)
+    d2[:4] = 1.0
+    d2 /= np.linalg.norm(d2)
+    m.observe_line(free, sp2, ep2, d2)
+    m.ml_n_obs[free] += 1
+
+    sp, ep = m.ml_sp[free], m.ml_ep[free]
+    length = np.linalg.norm(ep - sp)
+    assert length > 1.7, f"extent should cover both observations, got {length}"
+    dirv = (ep - sp) / length
+    assert abs(dirv @ np.float32([1, 0, 0])) > 0.999  # direction stable
+    # descriptor moved toward the new observation but keeps history
+    assert np.linalg.norm(m.ml_desc[free][:8]) > 0.99  # normalized
+    assert m.ml_desc[free][:4].min() > m.ml_desc[free][4:8].max()
+
+
+def test_observe_line_orientation_invariance(small_cfg):
+    """Swapped endpoints in the observation must not flip or shrink the
+    map line."""
+    m = SlamMap(small_cfg)
+    m.ml_sp[0] = [0.0, 1.0, 3.0]
+    m.ml_ep[0] = [0.0, 2.0, 3.0]
+    m.ml_valid[0] = True
+    m.ml_n_obs[0] = 3
+    sp_before = m.ml_sp[0].copy()
+    # identical segment, reversed
+    m.observe_line(0, m.ml_ep[0].copy(), sp_before, np.zeros(8, np.float32))
+    assert np.linalg.norm(m.ml_ep[0] - m.ml_sp[0]) >= 0.99
+    d = (m.ml_ep[0] - m.ml_sp[0]) / np.linalg.norm(m.ml_ep[0] - m.ml_sp[0])
+    assert d @ np.float32([0, 1, 0]) > 0.999

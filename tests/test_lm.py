@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -163,3 +164,55 @@ def test_solve_pose_empty_problem_is_stable():
     out = lm.solve_pose(prob, T0, K, BF, lm.default_params())
     assert np.all(np.isfinite(np.asarray(out["T"])))
     np.testing.assert_allclose(np.asarray(out["T"]), np.eye(4), atol=1e-5)
+
+
+def test_analytic_matches_ad_jacobians(rng):
+    """The closed-form point/stereo/line Jacobians must match jax.linearize
+    of the weighted flat residual (both full 6-dof and translation-only)."""
+    T_gt = np.asarray(
+        se3.exp_se3(jnp.array([0.1, -0.2, 0.3, 0.05, -0.03, 0.08], jnp.float32))
+    )
+    prob = make_problem(rng, n_mono=20, n_st=20, T_gt=T_gt, planes=2)
+    T = jnp.asarray(perturbed(T_gt, rng))
+    for translation_only in (False, True):
+        dof = 3 if translation_only else 6
+
+        def retract(Tm, xi):
+            if translation_only:
+                return Tm.at[:3, 3].add(xi)
+            return se3.exp_se3(xi) @ Tm
+
+        Jm, Js, Jl = lm._point_jacobians(
+            T, prob, K, jnp.float32(BF), translation_only
+        )
+
+        def flat_pts(xi):
+            rs = lm._residuals(retract(T, xi), prob, K, jnp.float32(BF))
+            return jnp.concatenate(
+                [rs[0].ravel(), rs[1].ravel(), rs[2].ravel()]
+            )
+
+        J_ad = jax.jacfwd(flat_pts)(jnp.zeros((dof,), jnp.float32))
+        J_an = jnp.concatenate(
+            [Jm.reshape(-1, dof), Js.reshape(-1, dof), Jl.reshape(-1, dof)]
+        )
+        np.testing.assert_allclose(
+            np.asarray(J_an), np.asarray(J_ad), atol=2e-4, rtol=1e-4
+        )
+
+
+def test_analytic_solve_matches_ad_solve(rng):
+    """solve_pose(analytic=True) and (analytic=False) converge to the same
+    pose on a well-conditioned problem."""
+    T_gt = np.asarray(
+        se3.exp_se3(jnp.array([0.1, -0.1, 0.2, 0.04, 0.02, -0.05], jnp.float32))
+    )
+    prob = make_problem(rng, n_mono=40, n_st=40, T_gt=T_gt, planes=2)
+    T0 = jnp.asarray(perturbed(T_gt, rng))
+    p = lm.default_params()
+    out_an = lm.solve_pose(prob, T0, K, BF, p, analytic=True)
+    out_ad = lm.solve_pose(prob, T0, K, BF, p, analytic=False)
+    np.testing.assert_allclose(
+        np.asarray(out_an["T"]), np.asarray(out_ad["T"]), atol=5e-4
+    )
+    np.testing.assert_allclose(np.asarray(out_an["T"]), T_gt, atol=2e-3)
