@@ -415,11 +415,18 @@ DEPTH_QUANT = 5000.0  # 0.2 mm steps, 13.1 m range (TUM DepthMapFactor)
 
 
 def pack_frame(gray: np.ndarray, depth: np.ndarray) -> np.ndarray:
-    """Host-side: gray (H,W) float/uint8 + depth (H,W) float32 meters
-    -> one (H, 3W) uint8 upload buffer [gray | depth lo/hi bytes]."""
+    """Host-side: gray (H,W) float/uint8 + depth (H,W) float32 meters (or
+    uint16 already in DEPTH_QUANT units, TUM-native) -> one (H, 3W) uint8
+    upload buffer [gray | depth lo/hi bytes].  With sensor-native uint8 +
+    uint16 inputs this is a pure byte concat."""
     if gray.dtype != np.uint8:
         gray = np.clip(np.round(gray), 0, 255).astype(np.uint8)
-    d16 = np.clip(np.round(depth * DEPTH_QUANT), 0, 65535).astype(np.uint16)
+    if depth.dtype == np.uint16:
+        d16 = depth
+    else:
+        d16 = np.clip(
+            np.round(depth * DEPTH_QUANT), 0, 65535
+        ).astype(np.uint16)
     h = gray.shape[0]
     return np.concatenate(
         [gray, d16.view(np.uint8).reshape(h, -1)], axis=1
@@ -535,7 +542,7 @@ def build_frame_body(
                 plane_obs, line_obs, scale_factor=sf, n_levels=nl,
                 translation_only=translation_only, use_scale_gate=True,
                 n_rounds=n_rounds, n_iters=n_iters,
-                gauss_newton=gauss_newton,
+                gauss_newton=gauss_newton, cand_cap=2048,
             )
 
         # --- candidate solves (no structural residuals; short LM schedule —
@@ -548,7 +555,7 @@ def build_frame_body(
         prob_a, aux_a = tracking_ops.projection_problem(
             mp_view, T_seed, feats, K, jnp.float32(7.0), hw,
             empty_planes, empty_lines, scale_factor=sf, n_levels=nl,
-            use_scale_gate=True,
+            use_scale_gate=True, cand_cap=2048,
         )
         ref_view = {
             "pos": view["mp_pos"][jnp.maximum(view["ref_mp"], 0)],
@@ -686,8 +693,12 @@ def build_frame_body(
             use_manh = jnp.bool_(False)
             T_mid = T_init
 
-        # --- final full solve with structural residuals ---
-        out_f = solve_proj(T_mid, jnp.float32(4.0), plane_obs, line_obs)
+        # --- final full solve with structural residuals (4 chi2-gated
+        # rounds like PoseOptimization; 6 LM iters per round converge at
+        # these budgets) ---
+        out_f = solve_proj(
+            T_mid, jnp.float32(4.0), plane_obs, line_obs, n_iters=6
+        )
         T_final = out_f["T"]
         n_inl = out_f["n_pt_inliers"]
         tracked_ok = init_ok & (n_inl >= 30)
@@ -755,6 +766,32 @@ def build_frame_body(
         # bit-packed copies of the wide bool masks for the summary pull
         for k in PACKED_KEYS:
             result[k + "_bits"] = pack_bool_bits(result[k])
+        # everything the host state machine needs, as ONE flat f32 buffer:
+        # the dev tunnel charges a full roundtrip per fetched buffer, so a
+        # 16-buffer summary dict costs ~16x the latency of this one array
+        result["summary_flat"] = jnp.concatenate(
+            [
+                jnp.ravel(result[k]).astype(jnp.float32)
+                for k in SUMMARY_KEYS
+            ]
+            + [
+                jnp.ravel(result[k + "_bits"]).astype(jnp.float32)
+                for k in PACKED_KEYS
+            ]
+        )
+        # keyframe payload, same trick (descriptors ride separately —
+        # uint32 words are not f32-exact)
+        result["payload_flat"] = jnp.concatenate(
+            [
+                jnp.ravel(feats[k]).astype(jnp.float32)
+                for k in sorted(feats)
+                if k != "desc"
+            ]
+            + [
+                jnp.ravel(result[k]).astype(jnp.float32)
+                for k in PAYLOAD_KEYS
+            ]
+        )
         return result, new_carry
 
     return step
@@ -840,6 +877,50 @@ SUMMARY_KEYS = (
 # summary pulls; the download path is ~20x slower than upload here)
 PACKED_KEYS = ("matched", "visible", "ml_visible")
 
+# keyframe-payload arrays packed into `payload_flat` (feats minus the
+# uint32 descriptors come first, in sorted-key order)
+PAYLOAD_KEYS = (
+    "plane_coeffs", "plane_valid", "plane_support", "plane_cloud",
+    "plane_npts", "line_sp3", "line_ep3", "line_has3d", "line_valid",
+    "line_desc", "line_assoc",
+)
+
+
+def pull_payload(result: dict, idx=None) -> dict:
+    """Keyframe payload in TWO transfers (flat f32 pack + the uint32
+    descriptors).  idx: chunk mode — slice one frame on device first."""
+    flat_d = result["payload_flat"]
+    desc_d = result["feats"]["desc"]
+    if idx is not None:
+        flat_d, desc_d = flat_d[idx], desc_d[idx]
+    flat, desc = jax.device_get((flat_d, desc_d))
+    flat = np.asarray(flat)
+    out: dict = {}
+    off = 0
+
+    def take(ref):
+        nonlocal off
+        shp = tuple(ref.shape[1 if idx is not None else 0:])
+        n = int(np.prod(shp)) if shp else 1
+        v = flat[off : off + n].reshape(shp)
+        off += n
+        dt_ = ref.dtype
+        if dt_ == jnp.bool_:
+            return v > 0.5
+        if jnp.issubdtype(dt_, jnp.integer):
+            return np.rint(v).astype(np.int32)
+        return v.astype(np.float32)
+
+    feats_np = {}
+    for k in sorted(result["feats"]):
+        if k != "desc":
+            feats_np[k] = take(result["feats"][k])
+    feats_np["desc"] = np.asarray(desc)
+    out["feats"] = feats_np
+    for k in PAYLOAD_KEYS:
+        out[k] = take(result[k])
+    return out
+
 
 def pack_bool_bits(mask: jnp.ndarray) -> jnp.ndarray:
     """(..., N) bool -> (..., N//8) uint8, little-endian bit order."""
@@ -850,17 +931,35 @@ def pack_bool_bits(mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def pull_summary(result: dict) -> dict:
-    """One batched transfer of everything the host state machine needs.
+    """ONE device->host transfer of everything the host state machine
+    needs: the step program concatenates the whole summary (bool masks
+    bit-packed) into `summary_flat`, because the dev tunnel charges a
+    full roundtrip per fetched buffer — one array, one roundtrip."""
+    flat = np.asarray(jax.device_get(result["summary_flat"]))
+    lead = flat.shape[:-1]  # () single frame, (C,) chunk
+    nlead = len(lead)
+    out: dict = {}
+    off = 0
 
-    The wide bool masks come over as the `*_bits` outputs packed by the
-    step program itself (no extra dispatch) and are unpacked on host.
-    """
-    sub = {k: result[k] for k in SUMMARY_KEYS}
+    def take(n):
+        nonlocal off
+        v = flat[..., off : off + n]
+        off += n
+        return v
+
+    for k in SUMMARY_KEYS:
+        shp = tuple(result[k].shape[nlead:])
+        n = int(np.prod(shp)) if shp else 1
+        v = take(n).reshape(lead + shp)
+        dt_ = result[k].dtype
+        if dt_ == jnp.bool_:
+            out[k] = v > 0.5
+        elif jnp.issubdtype(dt_, jnp.integer):
+            out[k] = np.rint(v).astype(np.int32)
+        else:
+            out[k] = v.astype(np.float32)
     for k in PACKED_KEYS:
-        sub[k] = result[k + "_bits"]
-    out = jax.device_get(sub)
-    for k in PACKED_KEYS:
-        out[k] = np.unpackbits(
-            out[k], axis=-1, bitorder="little"
-        ).astype(bool)
+        nbytes = result[k + "_bits"].shape[-1]
+        v = np.rint(take(nbytes)).astype(np.uint8)
+        out[k] = np.unpackbits(v, axis=-1, bitorder="little").astype(bool)
     return out

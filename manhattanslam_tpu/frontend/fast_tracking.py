@@ -57,11 +57,14 @@ class FastTracker:
         self.view = None  # device map view
         # pipeline=True: dispatch frame/chunk k before pulling k-1's
         # summary, hiding the host<->device sync latency behind device
-        # compute.  track() then returns the pose of the PREVIOUS
-        # frame/chunk (one-chunk latency, like the reference's
-        # asynchronous mapping thread).
+        # compute.  track() then returns the pose of a PREVIOUS
+        # frame/chunk (one- or two-chunk latency, like the reference's
+        # asynchronous mapping thread).  In chunk mode TWO chunks ride in
+        # flight: the blocking summary pull of chunk k then overlaps the
+        # device compute of chunk k+1 entirely.
         self.pipeline = pipeline
-        self._pending = None  # (meta, device result) awaiting summary
+        self.pipeline_depth = 2 if (pipeline and self.chunk > 1) else 1
+        self._pending = []  # [(meta, device result)] awaiting summary
         self._buf = []  # chunk mode: buffered (ts, fid, packed, gray, depth)
 
         self.state = NOT_INITIALIZED
@@ -114,21 +117,22 @@ class FastTracker:
 
         if self.pipeline:
             out_pose = None
-            if self._pending is not None:
-                out_pose = self._finish_frame(*self._pending)
-            self._pending = (timestamp, result)
+            self._pending.append((timestamp, result))
+            if len(self._pending) >= self.pipeline_depth + 1:
+                out_pose = self._finish_frame(*self._pending.pop(0))
             return out_pose
         return self._finish_frame(timestamp, result)
 
     def flush(self):
         """Finish in-flight work (pipeline and/or chunk mode)."""
         out = None
-        if self._pending is not None:
-            pend, self._pending = self._pending, None
+        while self._pending:
+            pend = self._pending.pop(0)
             if self.chunk > 1:
-                out = self._process_chunk(*pend)
+                out2 = self._process_chunk(*pend)
             else:
-                out = self._finish_frame(*pend)
+                out2 = self._finish_frame(*pend)
+            out = out2 if out2 is not None else out
         if self._buf:
             # pad the partial chunk by repeating the last frame; only the
             # real frames' summaries are processed (the padded frames
@@ -160,9 +164,9 @@ class FastTracker:
         self.last_result = results
         if self.pipeline:
             out = None
-            if self._pending is not None:
-                out = self._process_chunk(*self._pending)
-            self._pending = (metas, results)
+            self._pending.append((metas, results))
+            if len(self._pending) >= self.pipeline_depth + 1:
+                out = self._process_chunk(*self._pending.pop(0))
             return out
         return self._process_chunk(metas, results)
 
@@ -258,19 +262,10 @@ class FastTracker:
         ) and self.n_inliers > 15
         return (c1 and c2) or bool(s["new_plane"])
 
-    _PAYLOAD_KEYS = (
-        "feats", "plane_coeffs", "plane_valid", "plane_support",
-        "plane_cloud", "plane_npts", "line_sp3", "line_ep3", "line_has3d",
-        "line_valid", "line_desc", "line_assoc",
-    )
-
     def _pull_payload(self, result, idx=None) -> dict:
-        """Keyframe payload in one transfer (chunk mode: slice frame idx
-        on device first, so only that frame's arrays cross the tunnel)."""
-        sub = {k: result[k] for k in self._PAYLOAD_KEYS}
-        if idx is not None:
-            sub = jax.tree.map(lambda a: a[idx], sub)
-        return jax.device_get(sub)
+        """Keyframe payload in two transfers (flat pack + descriptors;
+        chunk mode: slice frame idx on device first)."""
+        return dt.pull_payload(result, idx)
 
     def _create_keyframe(
         self, timestamp, result, s, frame_id, idx=None, gray=None, depth=None,

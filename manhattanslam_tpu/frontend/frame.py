@@ -22,6 +22,7 @@ from manhattanslam_tpu.config import SlamConfig
 from manhattanslam_tpu.ops import fast as fast_ops
 from manhattanslam_tpu.ops import image as image_ops
 from manhattanslam_tpu.ops import orb as orb_ops
+from manhattanslam_tpu.ops import orb_pallas
 
 
 def undistort_points(xy: jnp.ndarray, cfg: SlamConfig) -> jnp.ndarray:
@@ -80,7 +81,13 @@ def _extract_level(
     xy, resp, valid = orb_ops.select_grid_topk(score, n_out, cell=32, k_per_cell=k_per_cell)
     angle = orb_ops.ic_angle(level_img, xy)
     blurred = image_ops.gaussian_blur(level_img, 7, 2.0)
-    desc = orb_ops.brief_descriptors(blurred, xy, angle)
+    if use_pallas is None:
+        use_pallas = fast_ops._use_pallas()
+    if use_pallas and h >= orb_pallas.PATCH_H and w >= orb_pallas.PATCH_W:
+        # gather-free BRIEF sampling (patch DMA + one-hot MXU contraction)
+        desc = orb_pallas.brief_descriptors_pallas(blurred, xy, angle)
+    else:
+        desc = orb_ops.brief_descriptors(blurred, xy, angle)
     return {"xy": xy, "response": resp, "valid": valid, "angle": angle, "desc": desc}
 
 
