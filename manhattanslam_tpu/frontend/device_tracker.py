@@ -536,6 +536,7 @@ def build_frame_body(
         def solve_proj(
             T0, radius, plane_obs, line_obs, translation_only=False,
             n_rounds=4, n_iters=8, gauss_newton=False,
+            use_planes=False, use_lines=False,
         ):
             return tracking_ops.track_projection(
                 mp_view, T0, feats, K, bf, params, radius, hw,
@@ -543,6 +544,7 @@ def build_frame_body(
                 translation_only=translation_only, use_scale_gate=True,
                 n_rounds=n_rounds, n_iters=n_iters,
                 gauss_newton=gauss_newton, cand_cap=2048,
+                use_planes=use_planes, use_lines=use_lines,
             )
 
         # --- candidate solves (no structural residuals; short LM schedule —
@@ -570,7 +572,7 @@ def build_frame_body(
         outs = jax.vmap(
             lambda p, t: lm.solve_pose(
                 p, t, K, bf, params, n_rounds=2, n_iters=6,
-                gauss_newton=True,
+                gauss_newton=True, use_planes=False, use_lines=False,
             )
         )(probs, jnp.stack([T_seed, carry["T_last"]]))
         n_pt = jnp.sum(outs["inlier_mono"] | outs["inlier_st"], axis=1)
@@ -662,7 +664,7 @@ def build_frame_body(
             out_t = solve_proj(
                 T_manh, jnp.float32(7.0), plane_obs, empty_lines,
                 translation_only=True, n_rounds=2, n_iters=6,
-                gauss_newton=True,
+                gauss_newton=True, use_planes=True,
             )
             ok_t = out_t["n_pt_inliers"] >= 10
 
@@ -676,6 +678,7 @@ def build_frame_body(
                     ref_view, T_manh, feats, view["ref_angle"], K, bf,
                     params, plane_obs, empty_lines, translation_only=True,
                     n_rounds=2, n_iters=6, gauss_newton=True,
+                    use_planes=True, use_lines=False,
                 )
                 return {"T": o["T"], "n": o["n_pt_inliers"]}
 
@@ -697,7 +700,8 @@ def build_frame_body(
         # rounds like PoseOptimization; 6 LM iters per round converge at
         # these budgets) ---
         out_f = solve_proj(
-            T_mid, jnp.float32(4.0), plane_obs, line_obs, n_iters=6
+            T_mid, jnp.float32(4.0), plane_obs, line_obs, n_iters=6,
+            use_planes=enable_planes, use_lines=enable_lines,
         )
         T_final = out_f["T"]
         n_inl = out_f["n_pt_inliers"]

@@ -79,12 +79,16 @@ def _extract_level(
 
     k_per_cell = max(2, min(8, (4 * n_out) // max((h // 32) * (w // 32), 1) + 1))
     xy, resp, valid = orb_ops.select_grid_topk(score, n_out, cell=32, k_per_cell=k_per_cell)
-    angle = orb_ops.ic_angle(level_img, xy)
-    blurred = image_ops.gaussian_blur(level_img, 7, 2.0)
     if use_pallas is None:
         use_pallas = fast_ops._use_pallas()
-    if use_pallas and h >= orb_pallas.PATCH_H and w >= orb_pallas.PATCH_W:
-        # gather-free BRIEF sampling (patch DMA + one-hot MXU contraction)
+    pallas_ok = use_pallas and h >= orb_pallas.PATCH_H and w >= 128
+    if pallas_ok:
+        # gather-free IC-angle + BRIEF sampling (patch DMA kernels)
+        angle = orb_pallas.ic_angle_pallas(level_img, xy)
+    else:
+        angle = orb_ops.ic_angle(level_img, xy)
+    blurred = image_ops.gaussian_blur(level_img, 7, 2.0)
+    if pallas_ok:
         desc = orb_pallas.brief_descriptors_pallas(blurred, xy, angle)
     else:
         desc = orb_ops.brief_descriptors(blurred, xy, angle)

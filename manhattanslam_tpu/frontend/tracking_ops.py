@@ -219,6 +219,7 @@ def _projection_post(out: dict, aux: dict, n_bank: int) -> dict:
     static_argnames=(
         "image_hw", "scale_factor", "n_levels", "translation_only",
         "use_scale_gate", "n_rounds", "n_iters", "cand_cap", "gauss_newton",
+        "use_planes", "use_lines",
     ),
 )
 def track_projection(
@@ -240,6 +241,8 @@ def track_projection(
     n_iters: int = 10,
     cand_cap: int = 4096,
     gauss_newton: bool = False,
+    use_planes: bool = True,
+    use_lines: bool = True,
 ) -> dict:
     """Project landmark set `pts` with seed pose, match, solve.
 
@@ -254,6 +257,7 @@ def track_projection(
     out = lm.solve_pose(
         prob, T_seed, K, bf, params, translation_only=translation_only,
         n_rounds=n_rounds, n_iters=n_iters, gauss_newton=gauss_newton,
+        use_planes=use_planes, use_lines=use_lines,
     )
     return _projection_post(out, aux, pts["pos"].shape[0])
 
@@ -285,7 +289,10 @@ def descriptor_problem(
 
 @partial(
     jax.jit,
-    static_argnames=("translation_only", "n_rounds", "n_iters", "gauss_newton"),
+    static_argnames=(
+        "translation_only", "n_rounds", "n_iters", "gauss_newton",
+        "use_planes", "use_lines",
+    ),
 )
 def track_descriptors(
     pts: dict,
@@ -301,6 +308,8 @@ def track_descriptors(
     n_rounds: int = 4,
     n_iters: int = 10,
     gauss_newton: bool = False,
+    use_planes: bool = True,
+    use_lines: bool = True,
 ) -> dict:
     """SearchByBoW-style pure-descriptor matching + solve.
 
@@ -315,6 +324,7 @@ def track_descriptors(
     out = lm.solve_pose(
         prob, T_seed, K, bf, params, translation_only=translation_only,
         n_rounds=n_rounds, n_iters=n_iters, gauss_newton=gauss_newton,
+        use_planes=use_planes, use_lines=use_lines,
     )
     pt_inlier = out["inlier_mono"] | out["inlier_st"]
     out.update(

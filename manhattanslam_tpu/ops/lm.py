@@ -178,8 +178,14 @@ def plane_ominus_ver(pi_self, pi_other):
 
 
 # ------------------------------------------------------------- residual stack
-def _residuals(T_cw, prob: PoseProblem, K, bf):
-    """Per-family raw residuals at pose T_cw (no weighting)."""
+def _residuals(T_cw, prob: PoseProblem, K, bf, use_planes=True, use_lines=True):
+    """Per-family raw residuals at pose T_cw (no weighting).
+
+    use_planes/use_lines=False compile those families out (the candidate
+    solves run on statically-empty plane/line observations — the ominus
+    transcendentals would otherwise be evaluated on zeros every LM
+    iteration).
+    """
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
 
     def proj(pw):
@@ -196,17 +202,25 @@ def _residuals(T_cw, prob: PoseProblem, K, bf):
     s_ur = su - bf / jnp.where(jnp.abs(sz) < 1e-9, 1e-9, sz)
     r_st = prob.st_obs - jnp.stack([su, sv, s_ur], -1)  # (Ns,3)
     # line endpoints: l . (u,v,1)
-    lu, lv, _ = proj(prob.ln_xw)
-    r_ln = (
-        prob.ln_eq[:, 0] * lu + prob.ln_eq[:, 1] * lv + prob.ln_eq[:, 2]
-    )[:, None]  # (Nl,1)
+    if use_lines:
+        lu, lv, _ = proj(prob.ln_xw)
+        r_ln = (
+            prob.ln_eq[:, 0] * lu + prob.ln_eq[:, 1] * lv + prob.ln_eq[:, 2]
+        )[:, None]  # (Nl,1)
+    else:
+        r_ln = jnp.zeros((prob.ln_xw.shape[0], 1), r_mono.dtype)
     # planes
-    pl_c = transform_plane_g2o(T_cw, prob.pl_w)
-    r_pl = plane_ominus(pl_c, prob.pl_obs)  # (Np,3)
-    par_c = transform_plane_g2o(T_cw, prob.par_w)
-    r_par = plane_ominus_par(par_c, prob.par_obs)  # (Npar,2)
-    ver_c = transform_plane_g2o(T_cw, prob.ver_w)
-    r_ver = plane_ominus_ver(ver_c, prob.ver_obs)  # (Nver,2)
+    if use_planes:
+        pl_c = transform_plane_g2o(T_cw, prob.pl_w)
+        r_pl = plane_ominus(pl_c, prob.pl_obs)  # (Np,3)
+        par_c = transform_plane_g2o(T_cw, prob.par_w)
+        r_par = plane_ominus_par(par_c, prob.par_obs)  # (Npar,2)
+        ver_c = transform_plane_g2o(T_cw, prob.ver_w)
+        r_ver = plane_ominus_ver(ver_c, prob.ver_obs)  # (Nver,2)
+    else:
+        r_pl = jnp.zeros((prob.pl_w.shape[0], 3), r_mono.dtype)
+        r_par = jnp.zeros((prob.par_w.shape[0], 2), r_mono.dtype)
+        r_ver = jnp.zeros((prob.ver_w.shape[0], 2), r_mono.dtype)
     return r_mono, r_st, r_ln, r_pl, r_par, r_ver
 
 
@@ -250,7 +264,8 @@ def _family_chi2(r_mono, r_st, r_ln, r_pl, r_par, r_ver, prob, params):
     return chi_mono, chi_st, chi_ln, chi_pl, chi_par, chi_ver
 
 
-def _robust_weights(prob, params, masks, huber_on, T_cw, K, bf, rs=None):
+def _robust_weights(prob, params, masks, huber_on, T_cw, K, bf, rs=None,
+                    use_planes=True, use_lines=True):
     """Per-edge sqrt-weights (info x Huber x mask), computed at T_cw.
 
     The weights are FROZEN for the linearization step (IRLS): g2o's robust
@@ -259,7 +274,7 @@ def _robust_weights(prob, params, masks, huber_on, T_cw, K, bf, rs=None):
     """
     m_mono, m_st, m_ln, m_pl, m_par, m_ver = masks
     if rs is None:
-        rs = _residuals(T_cw, prob, K, bf)
+        rs = _residuals(T_cw, prob, K, bf, use_planes, use_lines)
     chi = _family_chi2(*rs, prob, params)
 
     def hw(chi2, delta, mask):
@@ -280,12 +295,13 @@ def _robust_weights(prob, params, masks, huber_on, T_cw, K, bf, rs=None):
     )
 
 
-def _weighted_flat(prob, params, masks, weights, T_cw, K, bf, rs=None):
+def _weighted_flat(prob, params, masks, weights, T_cw, K, bf, rs=None,
+                   use_planes=True, use_lines=True):
     """Flat weighted residual vector with given (frozen) per-edge weights."""
     m_mono, m_st, m_ln, m_pl, m_par, m_ver = masks
     w_mono, w_st, w_ln, w_pl, w_par, w_ver = weights
     if rs is None:
-        rs = _residuals(T_cw, prob, K, bf)
+        rs = _residuals(T_cw, prob, K, bf, use_planes, use_lines)
     r_mono, r_st, r_ln, r_pl, r_par, r_ver = rs
 
     sqrt_pl = jnp.sqrt(
@@ -311,7 +327,8 @@ def _weighted_flat(prob, params, masks, weights, T_cw, K, bf, rs=None):
     )
 
 
-def _point_jacobians(T_cw, prob: PoseProblem, K, bf, translation_only):
+def _point_jacobians(T_cw, prob: PoseProblem, K, bf, translation_only,
+                     use_lines=True):
     """Closed-form Jacobians of the point/stereo/line residual rows wrt
     the pose increment xi (translation-first, left-multiplied retraction
     T' = exp(xi) @ T, matching se3.exp_se3).
@@ -358,13 +375,17 @@ def _point_jacobians(T_cw, prob: PoseProblem, K, bf, translation_only):
     Js = -(A_st @ dpc_dxi(pc_s))
 
     # line endpoint: r = l0*u + l1*v + l2 (positive sign)
-    pc_l = cam(prob.ln_xw)
-    A_uv_l = duv_dpc(pc_l)  # (Nl,2,3)
-    lrow = (
-        prob.ln_eq[:, 0:1, None] * A_uv_l[:, 0:1, :]
-        + prob.ln_eq[:, 1:2, None] * A_uv_l[:, 1:2, :]
-    )  # (Nl,1,3)
-    Jl = lrow @ dpc_dxi(pc_l)
+    if use_lines:
+        pc_l = cam(prob.ln_xw)
+        A_uv_l = duv_dpc(pc_l)  # (Nl,2,3)
+        lrow = (
+            prob.ln_eq[:, 0:1, None] * A_uv_l[:, 0:1, :]
+            + prob.ln_eq[:, 1:2, None] * A_uv_l[:, 1:2, :]
+        )  # (Nl,1,3)
+        Jl = lrow @ dpc_dxi(pc_l)
+    else:
+        dof_ = 3 if translation_only else 6
+        Jl = jnp.zeros((prob.ln_xw.shape[0], 1, dof_), Jm.dtype)
 
     del dof
     return Jm, Js, Jl
@@ -400,6 +421,7 @@ def _plane_rows_flat(T_cw, prob: PoseProblem, params, masks, weights):
     jax.jit,
     static_argnames=(
         "translation_only", "n_rounds", "n_iters", "analytic", "gauss_newton",
+        "use_planes", "use_lines",
     ),
 )
 def solve_pose(
@@ -413,6 +435,8 @@ def solve_pose(
     n_iters: int = 10,
     analytic: bool = True,
     gauss_newton: bool = False,
+    use_planes: bool = True,
+    use_lines: bool = True,
 ) -> dict:
     """Run the 4x10 LM schedule.  Returns dict with T, inlier masks, chi2.
 
@@ -432,9 +456,14 @@ def solve_pose(
             return T.at[:3, 3].add(xi)
         return se3.exp_se3(xi) @ T
 
+    zmask = jnp.zeros
     masks0 = (
-        prob.mono_mask, prob.st_mask, prob.ln_mask,
-        prob.pl_mask, prob.par_mask, prob.ver_mask,
+        prob.mono_mask,
+        prob.st_mask,
+        prob.ln_mask if use_lines else zmask(prob.ln_mask.shape, bool),
+        prob.pl_mask if use_planes else zmask(prob.pl_mask.shape, bool),
+        prob.par_mask if use_planes else zmask(prob.par_mask.shape, bool),
+        prob.ver_mask if use_planes else zmask(prob.ver_mask.shape, bool),
     )
 
     def run_round(T, masks, huber_on):
@@ -444,11 +473,14 @@ def solve_pose(
             # the weighted residual vector (the residual stack is evaluated
             # ~70 times per frame across the LM schedules — primal sharing
             # matters)
-            rs = _residuals(T, prob, K, bf)
+            rs = _residuals(T, prob, K, bf, use_planes, use_lines)
             w = _robust_weights(prob, params, masks, huber_on, T, K, bf, rs=rs)
 
             def flat_at(T_):
-                return _weighted_flat(prob, params, masks, w, T_, K, bf)
+                return _weighted_flat(
+                    prob, params, masks, w, T_, K, bf,
+                    use_planes=use_planes, use_lines=use_lines,
+                )
 
             r0 = _weighted_flat(prob, params, masks, w, T, K, bf, rs=rs)
             # linearize shares the primal pass; the 6 basis tangents are
@@ -470,14 +502,16 @@ def solve_pose(
 
         def lm_iter_an(carry, _):
             T, lam = carry
-            rs = _residuals(T, prob, K, bf)
+            rs = _residuals(T, prob, K, bf, use_planes, use_lines)
             w = _robust_weights(prob, params, masks, huber_on, T, K, bf, rs=rs)
             w_mono, w_st, w_ln, w_pl, w_par, w_ver = w
             m_mono, m_st, m_ln, m_pl, m_par, m_ver = masks
             r_mono, r_st, r_ln = rs[0], rs[1], rs[2]
 
             # point/stereo/line rows: closed-form J, weighted + masked
-            Jm, Js, Jl = _point_jacobians(T, prob, K, bf, translation_only)
+            Jm, Js, Jl = _point_jacobians(
+                T, prob, K, bf, translation_only, use_lines=use_lines
+            )
 
             def acc(Jf, rf, wf, mf):
                 wm = jnp.where(mf, wf, 0.0)
@@ -490,22 +524,30 @@ def solve_pose(
 
             Hm, gm, cm = acc(Jm, r_mono, w_mono, m_mono)
             Hs, gs, cs = acc(Js, r_st, w_st, m_st)
-            Hl, gl, cl = acc(Jl, r_ln, w_ln, m_ln)
+            H = Hm + Hs
+            g = gm + gs
+            prev_cost = 0.5 * (cm + cs)
+            if use_lines:
+                Hl, gl, cl = acc(Jl, r_ln, w_ln, m_ln)
+                H = H + Hl
+                g = g + gl
+                prev_cost = prev_cost + 0.5 * cl
+            if use_planes:
+                # plane families via linearize (<= 24 rows)
+                pm = (m_pl, m_par, m_ver)
+                pw_ = (w_pl, w_par, w_ver)
 
-            # plane families via linearize (<= 24 rows)
-            pm = (m_pl, m_par, m_ver)
-            pw_ = (w_pl, w_par, w_ver)
+                def pl_flat(T_):
+                    return _plane_rows_flat(T_, prob, params, pm, pw_)
 
-            def pl_flat(T_):
-                return _plane_rows_flat(T_, prob, params, pm, pw_)
-
-            rp0, jvp_p = jax.linearize(
-                lambda xi: pl_flat(retract(T, xi)), jnp.zeros((dof,), T.dtype)
-            )
-            Jp = jax.vmap(jvp_p)(jnp.eye(dof, dtype=T.dtype)).T
-            H = Hm + Hs + Hl + Jp.T @ Jp
-            g = gm + gs + gl + Jp.T @ rp0
-            prev_cost = 0.5 * (cm + cs + cl + jnp.sum(rp0 * rp0))
+                rp0, jvp_p = jax.linearize(
+                    lambda xi: pl_flat(retract(T, xi)),
+                    jnp.zeros((dof,), T.dtype),
+                )
+                Jp = jax.vmap(jvp_p)(jnp.eye(dof, dtype=T.dtype)).T
+                H = H + Jp.T @ Jp
+                g = g + Jp.T @ rp0
+                prev_cost = prev_cost + 0.5 * jnp.sum(rp0 * rp0)
 
             step = -jnp.linalg.solve(H + lam * jnp.eye(dof, dtype=T.dtype), g)
             T_new = retract(T, step)
@@ -539,7 +581,7 @@ def solve_pose(
         T = run_round(T, masks, huber_on=(rnd < 2))
         # re-gate against the ORIGINAL masks (edges can be re-activated,
         # Optimizer.cc:428-436 level-0/1 flipping)
-        rs = _residuals(T, prob, K, bf)
+        rs = _residuals(T, prob, K, bf, use_planes, use_lines)
         chi = _family_chi2(*rs, prob, params)
         masks = (
             masks0[0] & (chi[0] <= CHI2_MONO),
@@ -550,7 +592,7 @@ def solve_pose(
             masks0[5] & (chi[5] <= params.vp_chi),
         )
 
-    rs = _residuals(T, prob, K, bf)
+    rs = _residuals(T, prob, K, bf, use_planes, use_lines)
     chi = _family_chi2(*rs, prob, params)
     n_inlier = sum(jnp.sum(m) for m in masks)
     total_chi = sum(jnp.sum(jnp.where(m, c, 0.0)) for m, c in zip(masks, chi))

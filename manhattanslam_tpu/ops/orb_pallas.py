@@ -40,34 +40,40 @@ PATCH_W = 256  # 128-lane aligned corner + radius-22 disc
 KP_BLOCK = 8  # keypoints per grid step (sublane-aligned block rows)
 
 
-def _brief_kernel(corner_ref, img_ref, syr_ref, sxr_ref, out_ref):
-    """KP_BLOCK keypoints per grid step: patch DMA + one-hot contractions."""
-    i = pl.program_id(0)
-    for k in range(KP_BLOCK):
-        n = i * KP_BLOCK + k
-        y0 = pl.multiple_of(corner_ref[n, 0], 8)
-        x0 = pl.multiple_of(corner_ref[n, 1], 128)
-        patch = img_ref[pl.ds(y0, PATCH_H), pl.ds(x0, PATCH_W)]  # (56, 256)
-        syr = syr_ref[k, :]  # (512,) row index into the patch
-        sxr = sxr_ref[k, :]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (PATCH_H, 512), 0)
-        oh_r = (rows == syr[None, :]).astype(jnp.float32)  # (56, 512)
-        # (512, 56) @ (56, 256) on the MXU
-        tmp = jax.lax.dot_general(
-            oh_r, patch, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (512, 256)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (512, PATCH_W), 1)
-        oh_c = (cols == sxr[:, None]).astype(jnp.float32)
-        out_ref[k, :] = jnp.sum(tmp * oh_c, axis=1)
+def _make_brief_kernel(patch_w: int):
+    def _brief_kernel(corner_ref, img_ref, syr_ref, sxr_ref, out_ref):
+        """KP_BLOCK keypoints per grid step: patch DMA + one-hot
+        contractions.  patch_w == image width means full-width rows (the
+        narrow-level variant: the column corner is 0, trivially aligned)."""
+        i = pl.program_id(0)
+        for k in range(KP_BLOCK):
+            n = i * KP_BLOCK + k
+            y0 = pl.multiple_of(corner_ref[n, 0], 8)
+            x0 = pl.multiple_of(corner_ref[n, 1], 128)
+            patch = img_ref[pl.ds(y0, PATCH_H), pl.ds(x0, patch_w)]
+            syr = syr_ref[k, :]  # (512,) row index into the patch
+            sxr = sxr_ref[k, :]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (PATCH_H, 512), 0)
+            oh_r = (rows == syr[None, :]).astype(jnp.float32)  # (56, 512)
+            # (512, 56) @ (56, patch_w) on the MXU
+            tmp = jax.lax.dot_general(
+                oh_r, patch, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (512, patch_w)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (512, patch_w), 1)
+            oh_c = (cols == sxr[:, None]).astype(jnp.float32)
+            out_ref[k, :] = jnp.sum(tmp * oh_c, axis=1)
+
+    return _brief_kernel
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("patch_w", "interpret"))
 def brief_samples_pallas(
     blurred: jnp.ndarray,
     corner: jnp.ndarray,  # (N, 2) int32 patch top-left (y, x)
     syr: jnp.ndarray,  # (N, 512) int32 row index within patch
     sxr: jnp.ndarray,  # (N, 512) int32 col index within patch
+    patch_w: int = PATCH_W,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(N, 512) sampled intensities."""
@@ -78,7 +84,7 @@ def brief_samples_pallas(
         syr = jnp.pad(syr, ((0, n_pad - n), (0, 0)))
         sxr = jnp.pad(sxr, ((0, n_pad - n), (0, 0)))
     out = pl.pallas_call(
-        _brief_kernel,
+        _make_brief_kernel(patch_w),
         out_shape=jax.ShapeDtypeStruct((n_pad, 512), blurred.dtype),
         grid=(n_pad // KP_BLOCK,),
         in_specs=[
@@ -91,6 +97,94 @@ def brief_samples_pallas(
         interpret=interpret,
     )(corner.astype(jnp.int32), blurred, syr, sxr)
     return out[:n]
+
+
+def _make_moments_kernel(patch_w: int):
+    from manhattanslam_tpu.ops.orb import HALF_PATCH, UMAX
+
+    r = HALF_PATCH
+
+    def _moments_kernel(kp_ref, img_ref, out_ref):
+        """IC-angle first moments for KP_BLOCK keypoints per grid step.
+
+        kp_ref (SMEM, (N, 4)): [patch_corner_y, patch_corner_x, kp_y, kp_x]
+        out_ref ((KP_BLOCK, 128)): m01 in lane 0, m10 in lane 1.
+        """
+        i = pl.program_id(0)
+        for k in range(KP_BLOCK):
+            n = i * KP_BLOCK + k
+            y0 = pl.multiple_of(kp_ref[n, 0], 8)
+            x0 = pl.multiple_of(kp_ref[n, 1], 128)
+            ky = kp_ref[n, 2]
+            kx = kp_ref[n, 3]
+            patch = img_ref[pl.ds(y0, PATCH_H), pl.ds(x0, patch_w)]
+            dy = (
+                jax.lax.broadcasted_iota(jnp.int32, (PATCH_H, patch_w), 0)
+                + y0 - ky
+            )
+            dx = (
+                jax.lax.broadcasted_iota(jnp.int32, (PATCH_H, patch_w), 1)
+                + x0 - kx
+            )
+            ady = jnp.abs(dy)
+            # per-row circular half-width u_max[|dy|] via a constant table
+            umax = jnp.zeros_like(dy)
+            for a, u in enumerate(UMAX[: r + 1]):
+                umax = jnp.where(ady == a, u, umax)
+            mask = (ady <= r) & (jnp.abs(dx) <= umax)
+            vals = jnp.where(mask, patch, 0.0)
+            m01 = jnp.sum(vals * dy.astype(jnp.float32))
+            m10 = jnp.sum(vals * dx.astype(jnp.float32))
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            out_ref[k, :] = jnp.where(
+                lane == 0, m01, jnp.where(lane == 1, m10, 0.0)
+            )[0]
+
+    return _moments_kernel
+
+
+@partial(jax.jit, static_argnames=("patch_w", "interpret"))
+def _ic_moments_pallas(img, kp, patch_w, interpret=False):
+    n = kp.shape[0]
+    n_pad = -(-n // KP_BLOCK) * KP_BLOCK
+    if n_pad != n:
+        kp = jnp.pad(kp, ((0, n_pad - n), (0, 0)))
+    out = pl.pallas_call(
+        _make_moments_kernel(patch_w),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 128), img.dtype),
+        grid=(n_pad // KP_BLOCK,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((KP_BLOCK, 128), lambda i: (i, 0)),
+        interpret=interpret,
+    )(kp.astype(jnp.int32), img)
+    return out[:n]
+
+
+def ic_angle_pallas(
+    img: jnp.ndarray, xy: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Intensity-centroid orientation via the patch kernel — same math as
+    ops/orb.ic_angle (IC_Angle, ORBextractor.cc:75-99): first moments of
+    the circular 31x31 patch.  Equal up to f32 summation order."""
+    from manhattanslam_tpu.ops.orb import HALF_PATCH
+
+    r = HALF_PATCH
+    h, w = img.shape
+    x0 = jnp.clip(xy[:, 0].astype(jnp.int32), r, w - r - 1)
+    y0 = jnp.clip(xy[:, 1].astype(jnp.int32), r, h - r - 1)
+    cy = jnp.clip(((y0 - 24) // 8) * 8, 0, h - PATCH_H)
+    if w >= PATCH_W:
+        pw = PATCH_W
+        cx = jnp.clip(((x0 - 22) // 128) * 128, 0, w - PATCH_W)
+    else:
+        pw = w
+        cx = jnp.zeros_like(x0)
+    kp = jnp.stack([cy, cx, y0, x0], -1)
+    m = _ic_moments_pallas(img, kp, pw, interpret=interpret)
+    return jnp.arctan2(m[:, 0], m[:, 1])
 
 
 def brief_descriptors_pallas(
@@ -120,12 +214,18 @@ def brief_descriptors_pallas(
     kx = jnp.round(xy[:, 0]).astype(jnp.int32)
     ky = jnp.round(xy[:, 1]).astype(jnp.int32)
     cy = jnp.clip(((ky - 24) // 8) * 8, 0, h - PATCH_H)
-    cx = jnp.clip(((kx - 22) // 128) * 128, 0, w - PATCH_W)
+    if w >= PATCH_W:
+        pw = PATCH_W
+        cx = jnp.clip(((kx - 22) // 128) * 128, 0, w - PATCH_W)
+    else:
+        # narrow pyramid level: full-width rows, corner at column 0
+        pw = w
+        cx = jnp.zeros_like(kx)
     corner = jnp.stack([cy, cx], -1)
     syr = (sy.reshape(sy.shape[0], -1) - cy[:, None])
     sxr = (sx.reshape(sx.shape[0], -1) - cx[:, None])
     vals = brief_samples_pallas(
-        blurred, corner, syr, sxr, interpret=interpret
+        blurred, corner, syr, sxr, patch_w=pw, interpret=interpret
     ).reshape(-1, 256, 2)
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)
     lanes = bits.reshape(-1, 8, 32)
