@@ -424,6 +424,10 @@ def pack_frame(gray: np.ndarray, depth: np.ndarray) -> np.ndarray:
     if depth.dtype == np.uint16:
         d16 = depth
     else:
+        # NaN/inf -> 0 (invalid); range silently saturates at 65535/5000
+        # = 13.1 m — beyond every RGB-D sensor this targets, but callers
+        # with synthetic far returns should pre-clip
+        depth = np.nan_to_num(depth, nan=0.0, posinf=0.0, neginf=0.0)
         d16 = np.clip(
             np.round(depth * DEPTH_QUANT), 0, 65535
         ).astype(np.uint16)

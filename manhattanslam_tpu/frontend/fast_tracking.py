@@ -229,7 +229,8 @@ class FastTracker:
         m.ml_visible[lvis] += 1
         matched_ml = s["line_assoc"][s["line_assoc"] >= 0]
         matched_ml = matched_ml[m.ml_valid[matched_ml]]
-        m.ml_found[matched_ml] += 1
+        # np.add.at counts duplicates (two frame lines -> same map line)
+        np.add.at(m.ml_found, matched_ml, 1)
 
         if not self.only_tracking and self._need_new_keyframe(s, frame_id):
             self._create_keyframe(timestamp, result, s, frame_id, idx=idx,

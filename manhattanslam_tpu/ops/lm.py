@@ -561,7 +561,7 @@ def solve_pose(
                 )
                 T = jnp.where(ok, T_new, T)
                 return (T, lam), None
-            rs_n = _residuals(T_new, prob, K, bf)
+            rs_n = _residuals(T_new, prob, K, bf, use_planes, use_lines)
             r_new = _weighted_flat(prob, params, masks, w, T_new, K, bf, rs=rs_n)
             new_cost = 0.5 * jnp.sum(r_new * r_new)
             accept = (new_cost < prev_cost) & jnp.all(jnp.isfinite(step))

@@ -40,6 +40,24 @@ PATCH_W = 256  # 128-lane aligned corner + radius-22 disc
 KP_BLOCK = 8  # keypoints per grid step (sublane-aligned block rows)
 
 
+def _pad_aligned(img: jnp.ndarray) -> jnp.ndarray:
+    """Pad to 8-row / 128-lane multiples so every dynamic patch corner
+    bound is aligned.  Mosaic requires `pl.multiple_of` starts to actually
+    hold; with raw image dims the clip upper bounds (h-PATCH_H, w-PATCH_W)
+    are unaligned on most pyramid levels, which is UB in the compiled
+    kernel (silent DMA round-down -> corrupt descriptors near the
+    bottom/right borders).  Padding makes the clip bounds multiples of
+    8/128 by construction; padded texels are never *sampled* because the
+    callers clip sample indices to the ORIGINAL image dims — they only
+    ride along inside patches, masked or unselected."""
+    h, w = img.shape
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    if hp != h or wp != w:
+        img = jnp.pad(img, ((0, hp - h), (0, wp - w)))
+    return img
+
+
 def _make_brief_kernel(patch_w: int):
     def _brief_kernel(corner_ref, img_ref, syr_ref, sxr_ref, out_ref):
         """KP_BLOCK keypoints per grid step: patch DMA + one-hot
@@ -173,14 +191,18 @@ def ic_angle_pallas(
 
     r = HALF_PATCH
     h, w = img.shape
+    # sample centers are clipped against the ORIGINAL dims; the padded
+    # texels below only ride along inside patches (masked by the disc)
     x0 = jnp.clip(xy[:, 0].astype(jnp.int32), r, w - r - 1)
     y0 = jnp.clip(xy[:, 1].astype(jnp.int32), r, h - r - 1)
-    cy = jnp.clip(((y0 - 24) // 8) * 8, 0, h - PATCH_H)
-    if w >= PATCH_W:
+    img = _pad_aligned(img)
+    hp, wp = img.shape
+    cy = jnp.clip(((y0 - 24) // 8) * 8, 0, hp - PATCH_H)
+    if wp >= PATCH_W:
         pw = PATCH_W
-        cx = jnp.clip(((x0 - 22) // 128) * 128, 0, w - PATCH_W)
+        cx = jnp.clip(((x0 - 22) // 128) * 128, 0, wp - PATCH_W)
     else:
-        pw = w
+        pw = wp
         cx = jnp.zeros_like(x0)
     kp = jnp.stack([cy, cx, y0, x0], -1)
     m = _ic_moments_pallas(img, kp, pw, interpret=interpret)
@@ -203,7 +225,8 @@ def brief_descriptors_pallas(
     rx = px[None] * ca[:, None, None] - py[None] * sa[:, None, None]
     ry = px[None] * sa[:, None, None] + py[None] * ca[:, None, None]
     h, w = blurred.shape
-    # absolute sample coords, clipped exactly like the jnp path
+    # absolute sample coords, clipped exactly like the jnp path (against
+    # the ORIGINAL dims — padded texels are never sampled)
     sx = jnp.clip(jnp.round(xy[:, 0, None, None] + rx), 0, w - 1).astype(jnp.int32)
     sy = jnp.clip(jnp.round(xy[:, 1, None, None] + ry), 0, h - 1).astype(jnp.int32)
     # patch corner per keypoint; samples are within a radius-22 disc of the
@@ -211,15 +234,18 @@ def brief_descriptors_pallas(
     # Mosaic requires aligned dynamic-slice starts: the row corner is
     # 8-aligned (56 rows = alignment slack 7 + 22 up + 22 down + rounding)
     # and the column corner 128-aligned (256 cols = 128 slack + disc).
+    # The image is padded so the clip UPPER bounds are aligned too.
+    blurred = _pad_aligned(blurred)
+    hp, wp = blurred.shape
     kx = jnp.round(xy[:, 0]).astype(jnp.int32)
     ky = jnp.round(xy[:, 1]).astype(jnp.int32)
-    cy = jnp.clip(((ky - 24) // 8) * 8, 0, h - PATCH_H)
-    if w >= PATCH_W:
+    cy = jnp.clip(((ky - 24) // 8) * 8, 0, hp - PATCH_H)
+    if wp >= PATCH_W:
         pw = PATCH_W
-        cx = jnp.clip(((kx - 22) // 128) * 128, 0, w - PATCH_W)
+        cx = jnp.clip(((kx - 22) // 128) * 128, 0, wp - PATCH_W)
     else:
         # narrow pyramid level: full-width rows, corner at column 0
-        pw = w
+        pw = wp
         cx = jnp.zeros_like(kx)
     corner = jnp.stack([cy, cx], -1)
     syr = (sy.reshape(sy.shape[0], -1) - cy[:, None])

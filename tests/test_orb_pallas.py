@@ -72,6 +72,67 @@ def test_brief_pallas_narrow_level(rng):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def _tpu_available():
+    import jax
+
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _tpu_available(), reason="needs a real TPU (set MSLAM_TEST_TPU=1)")
+def test_brief_pallas_compiled_unaligned_dims(rng):
+    """COMPILED (non-interpret) kernel on unaligned pyramid-level dims.
+
+    interpret=True treats pl.multiple_of as a no-op, so alignment bugs in
+    the patch-corner computation only show up here: dims like 333x533
+    make the clip upper bounds (h-PATCH_H, w-PATCH_W) non-multiples of
+    8/128, which used to silently round the DMA start down and corrupt
+    descriptors for keypoints near the bottom/right borders."""
+    from manhattanslam_tpu.ops.orb_pallas import ic_angle_pallas
+
+    b = orb.EDGE_THRESHOLD
+    # two dims keep the tunnel-compile cost bounded: one wide level
+    # (>=PATCH_W path) and one narrow level (full-width path), both with
+    # unaligned h-PATCH_H / w-PATCH_W
+    for h, w in ((333, 533), (161, 214)):
+        img = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+        # cluster keypoints along the bottom/right borders where the old
+        # clip produced unaligned corners, plus a few interior ones
+        edge = np.stack(
+            [
+                np.concatenate(
+                    [
+                        rng.uniform(w - b - 40, w - b - 1, 16),
+                        rng.uniform(b, w - b - 1, 16),
+                    ]
+                ),
+                np.concatenate(
+                    [
+                        rng.uniform(h - b - 40, h - b - 1, 16),
+                        rng.uniform(b, h - b - 1, 16),
+                    ]
+                ),
+            ],
+            -1,
+        ).astype(np.float32)
+        xy = jnp.asarray(edge)
+        angle = jnp.asarray(
+            rng.uniform(-np.pi, np.pi, len(edge)).astype(np.float32)
+        )
+        ref = orb.brief_descriptors(img, xy, angle)
+        out = brief_descriptors_pallas(img, xy, angle)  # compiled
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        aref = np.asarray(orb.ic_angle(img, xy))
+        aout = np.asarray(ic_angle_pallas(img, xy))  # compiled
+        d = np.abs(aout - aref)
+        d = np.minimum(d, 2 * np.pi - d)
+        # device reduction order differs from the prefix-sum formulation;
+        # ~3e-3 rad (0.17 deg) of f32 noise in the moment sums is expected
+        assert d.max() < 5e-3, (h, w, d.max())
+
+
 def test_ic_angle_pallas_matches_prefix_sum(rng):
     """Patch-kernel IC-angle equals the prefix-sum formulation up to f32
     summation order."""
