@@ -142,6 +142,27 @@ class PlaneConfig:
 
 
 @dataclass(frozen=True)
+class LineConfig:
+    """Line.* keys (ours — the reference hard-codes these inside
+    LSDextractor/LSDmatcher/LocalMapping; exposed as a config block like
+    Plane.* so they can be tuned per dataset without code edits)."""
+
+    # detector gates (ops/lines.py; the reference's LSD keeps top-40 by
+    # response, LSDextractor.cpp:23-31 — these gate the Hough redesign)
+    mag_threshold: float = 40.0  # Sobel magnitude floor for edge pixels
+    min_support: int = 15  # min supporting edge pixels per segment
+    min_density: float = 0.2  # support pixels per unit length
+    min_length: float = 20.0  # pixels at detection resolution
+    # association windows (device tracker; LSDmatcher projection windows)
+    assoc_mid_px: float = 40.0  # midpoint projection window
+    assoc_ang_deg: float = 12.0  # angular window
+    # duplicate-fusion gates (LocalMapping fuse_lines; LSDmatcher::Fuse)
+    fuse_desc_sim: float = 0.85
+    fuse_ang_deg: float = 8.0
+    fuse_mid_m: float = 0.15
+
+
+@dataclass(frozen=True)
 class SurfelConfig:
     """Surfel.* keys + superpixel constants (SurfelFusion.h:34-39)."""
 
@@ -181,6 +202,7 @@ class SlamConfig:
     camera: CameraConfig = field(default_factory=CameraConfig)
     orb: OrbConfig = field(default_factory=OrbConfig)
     plane: PlaneConfig = field(default_factory=PlaneConfig)
+    line: LineConfig = field(default_factory=LineConfig)
     surfel: SurfelConfig = field(default_factory=SurfelConfig)
     caps: CapacityConfig = field(default_factory=CapacityConfig)
     th_depth: float = 40.0  # close/far point threshold, baseline multiples
@@ -242,6 +264,17 @@ def config_from_dict(kv: dict) -> SlamConfig:
         distance_threshold=float(g("Plane.DistanceThreshold", 0.04)),
         mf_vertical_threshold=float(g("Plane.MFVerticalThreshold", 0.01)),
     )
+    line = LineConfig(
+        mag_threshold=float(g("Line.MagThreshold", 40.0)),
+        min_support=int(g("Line.MinSupport", 15)),
+        min_density=float(g("Line.MinDensity", 0.2)),
+        min_length=float(g("Line.MinLength", 20.0)),
+        assoc_mid_px=float(g("Line.AssocMidPx", 40.0)),
+        assoc_ang_deg=float(g("Line.AssocAngDeg", 12.0)),
+        fuse_desc_sim=float(g("Line.FuseDescSim", 0.85)),
+        fuse_ang_deg=float(g("Line.FuseAngDeg", 8.0)),
+        fuse_mid_m=float(g("Line.FuseMidM", 0.15)),
+    )
     surf = SurfelConfig(
         distance_far=float(g("Surfel.distanceFar", 30.0)),
         distance_near=float(g("Surfel.distanceNear", 0.5)),
@@ -250,6 +283,7 @@ def config_from_dict(kv: dict) -> SlamConfig:
         camera=cam,
         orb=orb,
         plane=plane,
+        line=line,
         surfel=surf,
         th_depth=float(g("ThDepth", 40.0)),
         depth_map_factor=float(g("DepthMapFactor", 5000.0)),

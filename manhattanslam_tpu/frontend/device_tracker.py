@@ -329,11 +329,14 @@ def build_plane_obs_device(fp_coeffs, assoc, par, ver, view):
 
 
 # ---------------------------------------------------------- line matching
-def associate_lines_device(det, desc, T_cw, view, K, image_hw=None):
+def associate_lines_device(
+    det, desc, T_cw, view, K, image_hw=None,
+    mid_px: float = 40.0, ang_deg: float = 12.0,
+):
     """LSDmatcher semantics on device: cosine NN with the reference's
     NN-ratio gate (minRatio 1/1.5, LSDmatcher.cpp:214-223) and MAD-adaptive
     absolute gating (lineDescriptorMAD, :384-409), plus angle/midpoint
-    projection windows.
+    projection windows (Line.AssocMidPx / Line.AssocAngDeg config).
 
     Returns (assoc (L,), visible (ML,)) — visible marks map lines whose
     projection lands in the frustum (MapLine found/visible bookkeeping).
@@ -371,8 +374,8 @@ def associate_lines_device(det, desc, T_cw, view, K, image_hw=None):
     sim = desc @ view["ml_desc"].T  # (L, ML)
     d_mid = jnp.linalg.norm(mid_f[:, None] - mid_map[None], axis=-1)
     d_ang = jnp.abs(((ang_f[:, None] - ang_map[None]) + jnp.pi / 2) % jnp.pi - jnp.pi / 2)
-    allow = det["valid"][:, None] & front[None] & (d_mid < 40.0) & (
-        d_ang < jnp.radians(12.0)
+    allow = det["valid"][:, None] & front[None] & (d_mid < mid_px) & (
+        d_ang < jnp.radians(ang_deg)
     )
     sim = jnp.where(allow, sim, -jnp.inf)
     top2 = jax.lax.top_k(sim, 2)[0]  # (L, 2)
@@ -638,13 +641,18 @@ def build_frame_body(
 
         # --- lines ---
         if enable_lines:
-            det = line_ops.detect_lines(gray, cfg.caps.max_lines)
+            lc = cfg.line
+            det = line_ops.detect_lines(
+                gray, cfg.caps.max_lines, lc.mag_threshold,
+                float(lc.min_support), lc.min_density, lc.min_length,
+            )
             ldesc = line_ops.line_descriptors(gray, det["sp"], det["ep"])
             lifted = line_ops.lift_lines_3d(
                 depth, K, det["sp"], det["ep"], det["valid"]
             )
             l_assoc, ml_visible = associate_lines_device(
-                det, ldesc, T_init, view, K, image_hw=hw
+                det, ldesc, T_init, view, K, image_hw=hw,
+                mid_px=lc.assoc_mid_px, ang_deg=lc.assoc_ang_deg,
             )
             line_obs = build_line_obs_device(det, l_assoc, view)
         else:

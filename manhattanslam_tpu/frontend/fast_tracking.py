@@ -251,17 +251,16 @@ class FastTracker:
         tracked_close = int(s["tracked_close"])
         nontracked_close = int(s["nontracked_close"])
         need_close = tracked_close < 100 and nontracked_close > 70
-        frames_since = frame_id - self.last_kf_frame_id
-        c1 = (
-            frames_since >= self.max_frames
-            or frames_since >= 0
-            or self.n_inliers < ref_matches * 0.25
-            or need_close
-        )
+        # the reference's c1 disjunction (Tracking.cc:1470-1480) is
+        # c1a (frames >= maxFrames) OR c1b (frames >= minFrames AND mapper
+        # idle) OR c1c (weak/close).  Here minFrames=0 and the mapping
+        # backend runs synchronously (always idle), so c1b — and therefore
+        # c1 — is identically true; only c2 and the new-plane trigger
+        # (Tracking.cc:1494) gate the decision.
         c2 = (
             self.n_inliers < ref_matches * th_ref or need_close
         ) and self.n_inliers > 15
-        return (c1 and c2) or bool(s["new_plane"])
+        return c2 or bool(s["new_plane"])
 
     def _pull_payload(self, result, idx=None) -> dict:
         """Keyframe payload in two transfers (flat pack + descriptors;

@@ -32,7 +32,11 @@ class LineModule:
 
     def process_frame(self, gray: np.ndarray, depth: np.ndarray, T_est: np.ndarray):
         L = self.cfg.caps.max_lines
-        det = line_ops.detect_lines(jnp.asarray(gray), L)
+        lc = self.cfg.line
+        det = line_ops.detect_lines(
+            jnp.asarray(gray), L, lc.mag_threshold, float(lc.min_support),
+            lc.min_density, lc.min_length,
+        )
         desc = line_ops.line_descriptors(jnp.asarray(gray), det["sp"], det["ep"])
         lifted = line_ops.lift_lines_3d(
             jnp.asarray(depth), jnp.asarray(self.K.astype(np.float32)),
@@ -94,8 +98,8 @@ class LineModule:
         allow = (
             fl["valid"][:, None]
             & front[None, :]
-            & (d_mid < 40.0)
-            & (d_ang < np.radians(12.0))
+            & (d_mid < self.cfg.line.assoc_mid_px)
+            & (d_ang < np.radians(self.cfg.line.assoc_ang_deg))
         )
         sim = np.where(allow, sim, -np.inf)
 

@@ -1,13 +1,14 @@
 """PLY export of the surfel cloud.
 
 Matches the reference's tinyply output schema (System::saveSurfels,
-System.cc:296-382): vertex element with position, normal, intensity,
-quality (fuse weight) and radius.  Binary little-endian.
+System.cc:296-382): a vertex element with position, normal, color
+(red/green/blue/alpha uint8 — our surfels carry a gray intensity, written
+to all three channels), quality (fuse weight) and radius, plus the
+reference's one-row ``camera`` element (identity extrinsics + viewport =
+point count, System.cc:321-327).  Binary little-endian.
 """
 
 from __future__ import annotations
-
-import struct
 
 import numpy as np
 
@@ -20,11 +21,45 @@ property float z
 property float nx
 property float ny
 property float nz
-property float intensity
+property uchar red
+property uchar green
+property uchar blue
+property uchar alpha
 property float quality
 property float radius
+element camera 1
+property float view_px
+property float view_py
+property float view_pz
+property float x_axisx
+property float x_axisy
+property float x_axisz
+property float y_axisx
+property float y_axisy
+property float y_axisz
+property float z_axisx
+property float z_axisy
+property float z_axisz
+property float focal
+property float scalex
+property float scaley
+property float centerx
+property float centery
+property int viewportx
+property int viewporty
+property float k1
+property float k2
 end_header
 """
+
+_VERTEX_DT = np.dtype(
+    [
+        ("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+        ("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4"),
+        ("red", "u1"), ("green", "u1"), ("blue", "u1"), ("alpha", "u1"),
+        ("quality", "<f4"), ("radius", "<f4"),
+    ]
+)
 
 
 def save_surfel_ply(
@@ -36,19 +71,27 @@ def save_surfel_ply(
     radius: np.ndarray,
 ) -> None:
     n = len(pos)
-    data = np.concatenate(
-        [
-            pos.astype("<f4"),
-            normal.astype("<f4"),
-            intensity[:, None].astype("<f4"),
-            quality[:, None].astype("<f4"),
-            radius[:, None].astype("<f4"),
-        ],
-        axis=1,
+    v = np.empty(n, dtype=_VERTEX_DT)
+    v["x"], v["y"], v["z"] = pos[:, 0], pos[:, 1], pos[:, 2]
+    v["nx"], v["ny"], v["nz"] = normal[:, 0], normal[:, 1], normal[:, 2]
+    gray = np.clip(np.round(intensity), 0, 255).astype(np.uint8)
+    v["red"] = v["green"] = v["blue"] = gray
+    v["alpha"] = 1  # the reference writes label=1 per vertex (System.cc:314)
+    v["quality"] = quality
+    v["radius"] = radius
+    # camera element: identity pose, zero intrinsics, viewport = (n, 1)
+    # (System.cc:321-327 cameraProp values)
+    cam = (
+        np.array(
+            [0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0, 0, 0], "<f4"
+        ).tobytes()
+        + np.array([n, 1], "<i4").tobytes()
+        + np.array([0, 0], "<f4").tobytes()
     )
     with open(path, "wb") as f:
         f.write(HEADER.format(n=n).encode())
-        f.write(data.tobytes())
+        f.write(v.tobytes())
+        f.write(cam)
 
 
 def load_surfel_ply(path: str) -> dict:
@@ -62,11 +105,17 @@ def load_surfel_ply(path: str) -> dict:
                 0
             ].split()[-1]
         )
-        data = np.frombuffer(f.read(), dtype="<f4").reshape(n, 9)
+        raw = f.read()
+    v = np.frombuffer(raw[: n * _VERTEX_DT.itemsize], dtype=_VERTEX_DT)
+    cam_raw = raw[n * _VERTEX_DT.itemsize:]
+    cam1 = np.frombuffer(cam_raw[: 17 * 4], dtype="<f4")
+    viewport = np.frombuffer(cam_raw[17 * 4 : 19 * 4], dtype="<i4")
     return {
-        "pos": data[:, 0:3],
-        "normal": data[:, 3:6],
-        "intensity": data[:, 6],
-        "quality": data[:, 7],
-        "radius": data[:, 8],
+        "pos": np.stack([v["x"], v["y"], v["z"]], -1),
+        "normal": np.stack([v["nx"], v["ny"], v["nz"]], -1),
+        "intensity": v["red"].astype(np.float32),
+        "quality": v["quality"].astype(np.float32),
+        "radius": v["radius"].astype(np.float32),
+        "camera": cam1,
+        "viewport": viewport,
     }

@@ -264,10 +264,11 @@ class LocalMapper:
         sim = (desc / dn[:, None]) @ (desc / dn[:, None]).T
         cos_dir = np.abs(u @ u.T)
         d_mid = np.linalg.norm(mid[:, None] - mid[None], axis=-1)
+        lc = self.cfg.line
         dup = (
-            (sim > 0.85)
-            & (cos_dir > np.cos(np.radians(8.0)))
-            & (d_mid < 0.15)  # meters
+            (sim > lc.fuse_desc_sim)
+            & (cos_dir > np.cos(np.radians(lc.fuse_ang_deg)))
+            & (d_mid < lc.fuse_mid_m)  # meters
         )
         np.fill_diagonal(dup, False)
         obs = m.ml_n_obs[ids]

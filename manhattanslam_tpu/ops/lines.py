@@ -39,16 +39,25 @@ DESC_DIM = 4 * DESC_BANDS
 
 
 @partial(jax.jit, static_argnames=("n_lines",))
-def detect_lines(gray: jnp.ndarray, n_lines: int = 64) -> dict:
+def detect_lines(
+    gray: jnp.ndarray,
+    n_lines: int = 64,
+    mag_th: float = 40.0,
+    min_support: float = 15.0,
+    min_density: float = 0.2,
+    min_length: float = MIN_SEG_LEN,
+) -> dict:
     """Hough-based segment detector (computed at half resolution: the vote
     scatter is the dominant cost and line localization recovers via the
     least-squares refit; outputs are in full-resolution pixels).
 
-    Returns dict: sp (L,2), ep (L,2) endpoints (x,y), response (L,),
-    valid (L,), eq (L,3) normalized homogeneous line equation
-    (sp x ep / |.|, LSDextractor.cpp:35-44 convention).
+    The gates come from config (Line.* block; the reference hard-codes its
+    analogs inside LSD).  Returns dict: sp (L,2), ep (L,2) endpoints (x,y),
+    response (L,), valid (L,), eq (L,3) normalized homogeneous line
+    equation (sp x ep / |.|, LSDextractor.cpp:35-44 convention).
     """
     H0, W0 = gray.shape
+    gates = (mag_th, min_support, min_density, min_length)
     if min(H0, W0) >= 200:
         # 2x2 box downsample as two constant banded matmuls: strided slicing
         # lowers to slow scalar gathers on TPU, matmuls ride the MXU
@@ -57,7 +66,7 @@ def detect_lines(gray: jnp.ndarray, n_lines: int = 64) -> dict:
         ay = jnp.asarray(avgpool2_matrix_np(H0))
         ax = jnp.asarray(avgpool2_matrix_np(W0))
         small = ay @ gray @ ax.T
-        out = _detect_lines_impl(small, n_lines)
+        out = _detect_lines_impl(small, n_lines, *gates)
         return {
             "sp": out["sp"] * 2.0,
             "ep": out["ep"] * 2.0,
@@ -66,7 +75,7 @@ def detect_lines(gray: jnp.ndarray, n_lines: int = 64) -> dict:
             "valid": out["valid"],
             "angle": out["angle"],
         }
-    return _detect_lines_impl(gray, n_lines)
+    return _detect_lines_impl(gray, n_lines, *gates)
 
 
 def _renormalize_eq(sp, ep):
@@ -76,13 +85,20 @@ def _renormalize_eq(sp, ep):
     return eq / jnp.linalg.norm(eq, axis=-1, keepdims=True).clip(1e-9)
 
 
-def _detect_lines_impl(gray: jnp.ndarray, n_lines: int) -> dict:
+def _detect_lines_impl(
+    gray: jnp.ndarray,
+    n_lines: int,
+    mag_th: float = 40.0,
+    min_support: float = 15.0,
+    min_density: float = 0.2,
+    min_length: float = MIN_SEG_LEN,
+) -> dict:
     h, w = gray.shape
     gx, gy = sobel(gray)
     mag = jnp.sqrt(gx * gx + gy * gy)
     # adaptive threshold (mean + 1.5 std tracks the ~90th percentile
     # without the full sort a quantile would cost)
-    th = jnp.maximum(jnp.mean(mag) + 1.5 * jnp.std(mag), 40.0)
+    th = jnp.maximum(jnp.mean(mag) + 1.5 * jnp.std(mag), mag_th)
     edge = mag > th
 
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -209,10 +225,10 @@ def _detect_lines_impl(gray: jnp.ndarray, n_lines: int) -> dict:
     # method, so the support/density gates are correspondingly lower
     valid = (
         (top_v > 0)
-        & (n_support >= 15)
-        & (length >= MIN_SEG_LEN)
+        & (n_support >= min_support)
+        & (length >= min_length)
         & (length < diag)
-        & (density > 0.2)
+        & (density > min_density)
     )
 
     # endpoints: foot of the line at tmin / tmax along the refit direction
