@@ -420,8 +420,10 @@ DEPTH_QUANT = 5000.0  # 0.2 mm steps, 13.1 m range (TUM DepthMapFactor)
 def pack_frame(gray: np.ndarray, depth: np.ndarray) -> np.ndarray:
     """Host-side: gray (H,W) float/uint8 + depth (H,W) float32 meters (or
     uint16 already in DEPTH_QUANT units, TUM-native) -> one (H, 3W) uint8
-    upload buffer [gray | depth lo/hi bytes].  With sensor-native uint8 +
-    uint16 inputs this is a pure byte concat."""
+    upload buffer [gray | depth-lo plane | depth-hi plane].  PLANAR byte
+    layout: the device unpack is then three contiguous slices + float
+    math (lo + 256*hi), with no strided de-interleave or integer shifts
+    (the interleaved form cost ~0.5 ms/frame of relayout on device)."""
     if gray.dtype != np.uint8:
         gray = np.clip(np.round(gray), 0, 255).astype(np.uint8)
     if depth.dtype == np.uint16:
@@ -434,18 +436,18 @@ def pack_frame(gray: np.ndarray, depth: np.ndarray) -> np.ndarray:
         d16 = np.clip(
             np.round(depth * DEPTH_QUANT), 0, 65535
         ).astype(np.uint16)
-    h = gray.shape[0]
     return np.concatenate(
-        [gray, d16.view(np.uint8).reshape(h, -1)], axis=1
+        [gray, (d16 & 0xFF).astype(np.uint8), (d16 >> 8).astype(np.uint8)],
+        axis=1,
     )
 
 
 def unpack_frame(packed: jnp.ndarray, w: int):
     """Device-side inverse of pack_frame -> (gray f32, depth f32 meters)."""
     gray = packed[:, :w].astype(jnp.float32)
-    db = packed[:, w:].reshape(packed.shape[0], w, 2).astype(jnp.uint16)
-    d16 = db[..., 0] | (db[..., 1] << 8)  # little-endian (numpy .view order)
-    depth = d16.astype(jnp.float32) * jnp.float32(1.0 / DEPTH_QUANT)
+    lo = packed[:, w : 2 * w].astype(jnp.float32)
+    hi = packed[:, 2 * w :].astype(jnp.float32)
+    depth = (lo + 256.0 * hi) * jnp.float32(1.0 / DEPTH_QUANT)
     return gray, depth
 
 
@@ -540,10 +542,18 @@ def build_frame_body(
             ),
         }
 
+        # ONE frustum compaction shared by every projection solve of the
+        # frame (the per-solve poses differ by millimeters; the margin in
+        # frustum_candidates absorbs that)
+        cand = matching.frustum_candidates(
+            mp_view, T_seed, K, hw, 2048,
+            scale_factor=sf, n_levels=nl, use_scale_gate=True,
+        )
+
         def solve_proj(
             T0, radius, plane_obs, line_obs, translation_only=False,
             n_rounds=4, n_iters=8, gauss_newton=False,
-            use_planes=False, use_lines=False,
+            use_planes=False, use_lines=False, bank_stats=False,
         ):
             return tracking_ops.track_projection(
                 mp_view, T0, feats, K, bf, params, radius, hw,
@@ -552,9 +562,10 @@ def build_frame_body(
                 n_rounds=n_rounds, n_iters=n_iters,
                 gauss_newton=gauss_newton, cand_cap=2048,
                 use_planes=use_planes, use_lines=use_lines,
+                cand=cand, bank_stats=bank_stats,
             )
 
-        # --- candidate solves (no structural residuals; short LM schedule —
+        # --- candidate solves (no structural residuals; short GN schedule —
         # the final solve below does the full 4-round polish).  The
         # motion-model projection candidate (TrackWithMotionModel,
         # Tracking.cc:1243-1348) and the ref-KF descriptor candidate
@@ -564,7 +575,7 @@ def build_frame_body(
         prob_a, aux_a = tracking_ops.projection_problem(
             mp_view, T_seed, feats, K, jnp.float32(7.0), hw,
             empty_planes, empty_lines, scale_factor=sf, n_levels=nl,
-            use_scale_gate=True, cand_cap=2048,
+            use_scale_gate=True, cand_cap=2048, cand=cand, bank_stats=False,
         )
         ref_view = {
             "pos": view["mp_pos"][jnp.maximum(view["ref_mp"], 0)],
@@ -578,18 +589,18 @@ def build_frame_body(
         probs = jax.tree.map(lambda a, c: jnp.stack([a, c]), prob_a, prob_c)
         outs = jax.vmap(
             lambda p, t: lm.solve_pose(
-                p, t, K, bf, params, n_rounds=2, n_iters=6,
+                p, t, K, bf, params, n_rounds=2, n_iters=4,
                 gauss_newton=True, use_planes=False, use_lines=False,
             )
         )(probs, jnp.stack([T_seed, carry["T_last"]]))
-        n_pt = jnp.sum(outs["inlier_mono"] | outs["inlier_st"], axis=1)
+        n_pt = jnp.sum(outs["inlier_pt"], axis=1)
 
         # the reference's widened 2x retry when motion-model matches are
         # thin — the retry branch only executes when taken (lax.cond)
         def _retry(_):
             o = solve_proj(
                 T_seed, jnp.float32(14.0), empty_planes, empty_lines,
-                n_rounds=2, n_iters=6, gauss_newton=True,
+                n_rounds=2, n_iters=4, gauss_newton=True,
             )
             return {"T": o["T"], "n": o["n_pt_inliers"]}
 
@@ -675,7 +686,7 @@ def build_frame_body(
             T_manh = T_init.at[:3, :3].set(man_R)
             out_t = solve_proj(
                 T_manh, jnp.float32(7.0), plane_obs, empty_lines,
-                translation_only=True, n_rounds=2, n_iters=6,
+                translation_only=True, n_rounds=2, n_iters=4,
                 gauss_newton=True, use_planes=True,
             )
             ok_t = out_t["n_pt_inliers"] >= 10
@@ -689,7 +700,7 @@ def build_frame_body(
                 o = tracking_ops.track_descriptors(
                     ref_view, T_manh, feats, view["ref_angle"], K, bf,
                     params, plane_obs, empty_lines, translation_only=True,
-                    n_rounds=2, n_iters=6, gauss_newton=True,
+                    n_rounds=2, n_iters=4, gauss_newton=True,
                     use_planes=True, use_lines=False,
                 )
                 return {"T": o["T"], "n": o["n_pt_inliers"]}
@@ -709,11 +720,12 @@ def build_frame_body(
             T_mid = T_init
 
         # --- final full solve with structural residuals (4 chi2-gated
-        # rounds like PoseOptimization; 6 LM iters per round converge at
-        # these budgets) ---
+        # rounds like PoseOptimization; 5 LM iters per round converge at
+        # these budgets from the candidate-solve init) ---
         out_f = solve_proj(
-            T_mid, jnp.float32(4.0), plane_obs, line_obs, n_iters=6,
+            T_mid, jnp.float32(4.0), plane_obs, line_obs, n_iters=5,
             use_planes=enable_planes, use_lines=enable_lines,
+            bank_stats=True,
         )
         T_final = out_f["T"]
         n_inl = out_f["n_pt_inliers"]
@@ -795,6 +807,16 @@ def build_frame_body(
                 for k in PACKED_KEYS
             ]
         )
+        # two-tier split for chunk mode: a tiny always-pulled core + the
+        # keyframe-only extras (pulled lazily for the one frame that
+        # becomes a keyframe); the wide landmark masks are accumulated on
+        # device across the chunk instead of shipped per frame
+        result["core_flat"] = jnp.concatenate(
+            [jnp.ravel(result[k]).astype(jnp.float32) for k in CORE_KEYS]
+        )
+        result["kfx_flat"] = jnp.concatenate(
+            [jnp.ravel(result[k]).astype(jnp.float32) for k in KFX_KEYS]
+        )
         # keyframe payload, same trick (descriptors ride separately —
         # uint32 words are not f32-exact)
         result["payload_flat"] = jnp.concatenate(
@@ -849,18 +871,78 @@ def build_chunk_step(
     matches the previous frame the same way, Tracking.cc:1243-1348), and
     keyframe machinery runs at chunk boundaries — the same latency class
     as the reference's asynchronous LocalMapping thread.
+
+    The per-chunk pull is two-tier: `chunk_flat` carries the per-frame
+    CORE summaries plus the landmark found/visible statistics accumulated
+    ON DEVICE over the chunk (uint8 counts bitcast into the f32 buffer —
+    one transfer total); the per-frame keyframe extras (`kfx_flat`) and
+    payload stay device-resident and are fetched only for frames the host
+    promotes to keyframes.
     """
     body = build_frame_body(cfg, use_pallas, enable_planes, enable_lines)
     w = cfg.camera.width
+    # per-frame result keys kept (stacked) for the chunk path; the wide
+    # masks ride the accumulators instead.  The KFX/PAYLOAD arrays stay
+    # device-resident as shape/dtype references for the lazy pulls.
+    lite_keys = (
+        "core_flat", "kfx_flat", "payload_flat", "plane_membership"
+    ) + KFX_KEYS + tuple(k for k in PAYLOAD_KEYS if k != "line_assoc")
 
     @jax.jit
     def chunk(packed, carry, view):
-        def scan_body(c, frame):
+        n_map = view["mp_pos"].shape[0]
+        n_ml = view["ml_sp"].shape[0]
+        stats0 = {
+            "mp_visible": jnp.zeros(n_map, jnp.int32),
+            "mp_found": jnp.zeros(n_map, jnp.int32),
+            "ml_visible": jnp.zeros(n_ml, jnp.int32),
+            "ml_found": jnp.zeros(n_ml, jnp.int32),
+        }
+
+        def scan_body(cs, frame):
+            c, st = cs
             gray, depth = unpack_frame(frame, w)
             result, c2 = body(gray, depth, c, view)
-            return c2, result
+            # landmark statistics accumulate on device, gated on
+            # tracked_ok (lost frames update nothing, Tracking.cc:420-423)
+            okf = result["tracked_ok"].astype(jnp.int32)
+            la = result["line_assoc"]
+            st2 = {
+                "mp_visible": st["mp_visible"]
+                + result["visible"].astype(jnp.int32) * okf,
+                "mp_found": st["mp_found"]
+                + (result["matched"] & result["visible"]).astype(jnp.int32)
+                * okf,
+                "ml_visible": st["ml_visible"]
+                + result["ml_visible"].astype(jnp.int32) * okf,
+                # scatter-add counts duplicates (two frame lines -> same
+                # map line), matching np.add.at on the host path
+                "ml_found": st["ml_found"]
+                .at[jnp.where(la >= 0, la, n_ml)]
+                .add(okf * (la >= 0), mode="drop"),
+            }
+            lite = {k: result[k] for k in lite_keys}
+            lite["feats"] = result["feats"]
+            return (c2, st2), lite
 
-        carry2, results = jax.lax.scan(scan_body, carry, packed)
+        (carry2, stats), results = jax.lax.scan(
+            scan_body, (carry, stats0), packed
+        )
+        # ONE f32 pull: per-frame cores + uint8-packed count accumulators
+        cnt = jnp.concatenate(
+            [
+                jnp.clip(stats[k], 0, 255).astype(jnp.uint8)
+                for k in STAT_KEYS
+            ]
+        )
+        pad = (-cnt.shape[0]) % 4
+        cnt = jnp.pad(cnt, (0, pad))
+        cnt_f32 = jax.lax.bitcast_convert_type(
+            cnt.reshape(-1, 4), jnp.float32
+        )
+        results["chunk_flat"] = jnp.concatenate(
+            [results["core_flat"].ravel(), cnt_f32]
+        )
         return results, carry2
 
     return chunk
@@ -888,6 +970,16 @@ SUMMARY_KEYS = (
     "nontracked_close", "manhattan_found", "use_manhattan", "new_plane",
     "kp_mp", "plane_assoc", "plane_valid", "line_assoc",
 )
+
+# chunk-mode split: CORE rides in the per-chunk pull for every frame;
+# KFX (keyframe extras) are fetched only for frames promoted to keyframes
+CORE_KEYS = (
+    "T", "tracked_ok", "n_inliers", "n_matches", "tracked_close",
+    "nontracked_close", "manhattan_found", "use_manhattan", "new_plane",
+)
+KFX_KEYS = ("kp_mp", "plane_assoc", "plane_valid", "line_assoc")
+# device-accumulated landmark statistics (uint8 counts in the chunk pull)
+STAT_KEYS = ("mp_visible", "mp_found", "ml_visible", "ml_found")
 
 # wide per-landmark bool masks ride the tunnel bit-packed (8x smaller
 # summary pulls; the download path is ~20x slower than upload here)
@@ -944,6 +1036,65 @@ def pack_bool_bits(mask: jnp.ndarray) -> jnp.ndarray:
     m = mask.reshape(*mask.shape[:-1], n // 8, 8).astype(jnp.uint8)
     weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
     return jnp.sum(m * weights, axis=-1, dtype=jnp.uint8)
+
+
+def pull_chunk_summary(result: dict, n_map: int, n_ml: int):
+    """ONE device->host transfer for a whole chunk: per-frame CORE
+    summaries + the uint8 landmark-count accumulators.
+
+    Returns (cores: list of per-frame dicts, stats: {key: (n,) int counts}).
+    """
+    flat = np.asarray(jax.device_get(result["chunk_flat"]))
+    C = result["core_flat"].shape[0]
+    core_len = result["core_flat"].shape[-1]
+    cores_flat = flat[: C * core_len].reshape(C, core_len)
+    cores = []
+    for i in range(C):
+        row = cores_flat[i]
+        out: dict = {}
+        off = 0
+        for k in CORE_KEYS:
+            # shapes: T is (4,4); the rest are scalars
+            n = 16 if k == "T" else 1
+            v = row[off : off + n]
+            off += n
+            if k == "T":
+                out[k] = v.reshape(4, 4).astype(np.float32)
+            elif k in ("tracked_ok", "manhattan_found", "use_manhattan", "new_plane"):
+                out[k] = v[0] > 0.5
+            else:
+                out[k] = int(np.rint(v[0]))
+        cores.append(out)
+    cnt = np.ascontiguousarray(flat[C * core_len :]).view(np.uint8)
+    sizes = (n_map, n_map, n_ml, n_ml)
+    stats = {}
+    off = 0
+    for k, n in zip(STAT_KEYS, sizes):
+        stats[k] = cnt[off : off + n].astype(np.int32)
+        off += n
+    return cores, stats
+
+
+def pull_kfx(result: dict, idx: int) -> dict:
+    """Fetch one frame's keyframe extras (kp_mp / plane_assoc /
+    plane_valid / line_assoc) — one transfer, chunk mode only."""
+    flat = np.asarray(jax.device_get(result["kfx_flat"][idx]))
+    out: dict = {}
+    off = 0
+    for k in KFX_KEYS:
+        ref = result[k]
+        shp = tuple(ref.shape[1:])  # strip the chunk axis
+        n = int(np.prod(shp)) if shp else 1
+        v = flat[off : off + n].reshape(shp)
+        off += n
+        dt_ = ref.dtype
+        if dt_ == jnp.bool_:
+            out[k] = v > 0.5
+        elif jnp.issubdtype(dt_, jnp.integer):
+            out[k] = np.rint(v).astype(np.int32)
+        else:
+            out[k] = v.astype(np.float32)
+    return out
 
 
 def pull_summary(result: dict) -> dict:

@@ -71,6 +71,7 @@ class FastTracker:
         self.only_tracking = False
         self.request_reset = False
         self.T_cw = np.eye(4, dtype=np.float32)
+        slam_map.kf_retire_callbacks.append(self._on_kf_retired)
         self.frame_id = -1
         self.last_kf_frame_id = 0
         self.ref_kf = 0
@@ -171,13 +172,51 @@ class FastTracker:
         return self._process_chunk(metas, results)
 
     def _process_chunk(self, metas, results):
-        s_all = dt.pull_summary(results)  # ONE transfer for all C frames
+        # ONE transfer: per-frame cores + chunk-accumulated landmark stats
+        cores, stats = dt.pull_chunk_summary(
+            results, self.cfg.caps.max_map_points, self.cfg.caps.max_map_lines
+        )
+        # landmark found/visible counts were accumulated on device over
+        # the chunk (tracked_ok-gated); applied once per chunk — the same
+        # latency class as the reference's asynchronous LocalMapping
+        m = self.map
+        m.mp_visible += np.where(m.mp_valid, stats["mp_visible"], 0)
+        m.mp_found += np.where(m.mp_valid, stats["mp_found"], 0)
+        m.ml_visible += np.where(m.ml_valid, stats["ml_visible"], 0)
+        m.ml_found += np.where(m.ml_valid, stats["ml_found"], 0)
         out = None
         for i, (ts, fid, _packed, gray, depth) in enumerate(metas):
-            s = {k: np.asarray(v[i]) for k, v in s_all.items()}
-            pose = self._finish_frame(ts, results, s=s, idx=i, frame_id=fid,
-                                      gray=gray, depth=depth)
+            pose = self._finish_frame(ts, results, s=cores[i], idx=i,
+                                      frame_id=fid, gray=gray, depth=depth)
             out = pose if pose is not None else out
+            if self._chunk_restart:
+                # mid-chunk loss + successful relocalization: the remaining
+                # frames of this chunk (and any in-flight chunks) were
+                # computed with the pre-reloc carry — their results are
+                # stale.  Re-run them with the reset carry so recovery
+                # costs one frame, like the reference's per-frame reloc
+                # (Tracking.cc:410).
+                self._chunk_restart = False
+                stale = list(metas[i + 1 :])
+                for ms, _r in self._pending:
+                    stale.extend(ms)
+                self._pending = []
+                pose2 = self._replay_frames(stale)
+                return pose2 if pose2 is not None else out
+        return out
+
+    _chunk_restart = False
+
+    def _replay_frames(self, metas):
+        """Re-track already-uploaded frames through the normal chunk path
+        (after a mid-chunk carry reset).  Leftover frames stay buffered
+        and complete with the next track()/flush()."""
+        out = None
+        for meta in metas:
+            self._buf.append(meta)
+            if len(self._buf) >= self.chunk:
+                pose = self._dispatch_chunk()
+                out = pose if pose is not None else out
         return out
 
     def _finish_frame(
@@ -202,6 +241,10 @@ class FastTracker:
                 self.last_mp_idx = np.full(
                     self.cfg.caps.max_keypoints, -1, np.int32
                 )
+                if idx is not None:
+                    # chunk mode: later frames of this chunk ran with the
+                    # pre-reloc carry — tell _process_chunk to re-run them
+                    self._chunk_restart = True
                 self._record(timestamp, lost=False)
                 return self.T_cw.copy()
         if not ok:
@@ -217,22 +260,29 @@ class FastTracker:
         self.T_cw = s["T"].astype(np.float32)
         self.velocity = None  # velocity lives in the device carry
         self.n_inliers = int(s["n_inliers"])
-        self.last_mp_idx = s["kp_mp"]
 
-        # landmark statistics
-        m = self.map
-        vis = s["visible"] & m.mp_valid
-        m.mp_visible[vis] += 1
-        m.mp_found[s["matched"] & vis & s["visible"]] += 1
-        # line found/visible ratios (MapLine::IncreaseVisible/Found)
-        lvis = s["ml_visible"] & m.ml_valid
-        m.ml_visible[lvis] += 1
-        matched_ml = s["line_assoc"][s["line_assoc"] >= 0]
-        matched_ml = matched_ml[m.ml_valid[matched_ml]]
-        # np.add.at counts duplicates (two frame lines -> same map line)
-        np.add.at(m.ml_found, matched_ml, 1)
+        chunk_core = "kp_mp" not in s  # chunk-mode core summary
+        if not chunk_core:
+            self.last_mp_idx = s["kp_mp"]
+            # landmark statistics (single-frame path; chunk mode
+            # accumulates these on device, applied in _process_chunk)
+            m = self.map
+            vis = s["visible"] & m.mp_valid
+            m.mp_visible[vis] += 1
+            m.mp_found[s["matched"] & vis & s["visible"]] += 1
+            # line found/visible ratios (MapLine::IncreaseVisible/Found)
+            lvis = s["ml_visible"] & m.ml_valid
+            m.ml_visible[lvis] += 1
+            matched_ml = s["line_assoc"][s["line_assoc"] >= 0]
+            matched_ml = matched_ml[m.ml_valid[matched_ml]]
+            # np.add.at counts duplicates (two frame lines -> same map line)
+            np.add.at(m.ml_found, matched_ml, 1)
 
         if not self.only_tracking and self._need_new_keyframe(s, frame_id):
+            if chunk_core:
+                # fetch the keyframe extras for this one frame (lazy pull)
+                s = {**s, **dt.pull_kfx(result, idx)}
+                self.last_mp_idx = s["kp_mp"]
             self._create_keyframe(timestamp, result, s, frame_id, idx=idx,
                                   gray=gray, depth=depth)
         self._record(timestamp, lost=False)
@@ -285,6 +335,9 @@ class FastTracker:
         # lines
         self._kf_lines(kf_id, payload)
 
+        # the tracker's reference keyframe BEFORE this one took over — the
+        # surfel mapper links the new pose to it (SurfelMapping.cpp:162-168)
+        self.prev_ref_kf = self.ref_kf
         self.ref_kf = kf_id
         self.last_kf_frame_id = frame_id
         membership = result["plane_membership"]
@@ -506,9 +559,47 @@ class FastTracker:
         self.T_cw = T.astype(np.float32)
         self.carry = dt.init_carry(self.cfg, self.T_cw)
         self.n_inliers = 50
+        # re-anchor the reference keyframe to the relocalization match so
+        # the next frame's descriptor-fallback candidate searches a KF
+        # that actually overlaps the current view
+        kf = getattr(self.reloc_module, "last_kf", -1)
+        if kf >= 0 and self.map.kf_valid[kf]:
+            self.ref_kf = int(kf)
+            self.view = dt.set_ref_kf(self.view, self.map, self.ref_kf)
+            if self._shadow is not None:
+                for k, src in (
+                    ("ref_desc", self.map.kf_desc[kf]),
+                    ("ref_angle", self.map.kf_angle[kf]),
+                    ("ref_mp", self.map.kf_mp_idx[kf]),
+                ):
+                    self._shadow[k] = src.copy()
         return True
 
     # ---------------------------------------------------------- export etc.
+    def _on_kf_retired(self, kf: int, parent: int) -> None:
+        """Re-anchor trajectory records referencing a retired keyframe to
+        its spanning-tree parent: T_cr' = T_cr @ T_kf @ inv(T_parent)
+        (the eager form of the replay chain at System.cc:221-224).  The
+        slot can then be reused without corrupting the trajectory."""
+        if parent < 0:
+            return
+        m = self.map
+        M = (m.kf_pose[kf] @ np.linalg.inv(m.kf_pose[parent])).astype(
+            np.float32
+        )
+        for r in self.records:
+            if r.ref_kf == kf:
+                r.T_cr = r.T_cr @ M
+                r.ref_kf = parent
+        if self.ref_kf == kf:
+            self.ref_kf = parent
+            if self.view is not None:
+                self.view = dt.set_ref_kf(self.view, m, parent)
+                if self._shadow is not None:
+                    self._shadow["ref_desc"] = m.kf_desc[parent].copy()
+                    self._shadow["ref_angle"] = m.kf_angle[parent].copy()
+                    self._shadow["ref_mp"] = m.kf_mp_idx[parent].copy()
+
     def _record(self, timestamp: float, lost: bool) -> None:
         T_ref = self.map.kf_pose[self.ref_kf]
         if lost:

@@ -64,6 +64,7 @@ class Tracker:
         self.last_pose = np.eye(4, dtype=np.float32)
 
         self.records: list[FrameRecord] = []
+        slam_map.kf_retire_callbacks.append(self._on_kf_retired)
         self.min_frames = 0
         self.max_frames = int(cfg.camera.fps)
 
@@ -362,6 +363,7 @@ class Tracker:
             self.line_module.process_frame(gray, depth, self.T_cw)
             self.line_module.on_keyframe(kf_id, self.T_cw)
         self.last_mp_idx = mp_idx
+        self.prev_ref_kf = self.ref_kf  # surfel pose-graph reference link
         self.ref_kf = kf_id
         self.last_kf_frame_id = self.frame_id
         self.state = OK
@@ -459,6 +461,7 @@ class Tracker:
         if self.line_module is not None:
             self.line_module.on_keyframe(kf_id, self.T_cw)
         self.last_mp_idx = mp_idx
+        self.prev_ref_kf = self.ref_kf  # surfel pose-graph reference link
         self.ref_kf = kf_id
         self.last_kf_frame_id = self.frame_id
         if self.on_keyframe is not None:
@@ -493,6 +496,23 @@ class Tracker:
         else:
             T_cr = (self.T_cw @ np.linalg.inv(T_ref)).astype(np.float32)
         self.records.append(FrameRecord(timestamp, self.ref_kf, T_cr, lost))
+
+    def _on_kf_retired(self, kf: int, parent: int) -> None:
+        """Re-anchor records referencing a retired keyframe onto its
+        spanning-tree parent (System.cc:221-224 replay, applied eagerly
+        so the slot can be reused)."""
+        if parent < 0:
+            return
+        m = self.map
+        M = (m.kf_pose[kf] @ np.linalg.inv(m.kf_pose[parent])).astype(
+            np.float32
+        )
+        for r in self.records:
+            if r.ref_kf == kf:
+                r.T_cr = r.T_cr @ M
+                r.ref_kf = parent
+        if self.ref_kf == kf:
+            self.ref_kf = parent
 
     def _set_last(self, feats) -> None:
         self.last_feats = feats

@@ -69,8 +69,8 @@ def build_point_problem(
     """Gather matched observations into a PoseProblem.
 
     Stereo observation (u, v, uR) when the matched keypoint has depth
-    (u_right >= 0), mono otherwise — mirroring the edge split at
-    Optimizer.cc:108-151.
+    (u_right >= 0), mono otherwise — the edge split of Optimizer.cc:108-151,
+    expressed as the fused point family's per-row pt_stereo flag.
     """
     uv = feats["xy_und"][kp_idx]
     ur = feats["u_right"][kp_idx]
@@ -78,14 +78,11 @@ def build_point_problem(
     stereo = ur > 0
     obs3 = jnp.concatenate([uv, ur[:, None]], -1)
     return lm.PoseProblem(
-        mono_xw=pts_pos,
-        mono_obs=uv,
-        mono_info=info,
-        mono_mask=matched & ~stereo,
-        st_xw=pts_pos,
-        st_obs=obs3,
-        st_info=info,
-        st_mask=matched & stereo,
+        pt_xw=pts_pos,
+        pt_obs=obs3,
+        pt_info=info,
+        pt_stereo=stereo,
+        pt_mask=matched,
         ln_xw=line_obs.xw,
         ln_eq=line_obs.eq,
         ln_info=line_obs.info,
@@ -115,102 +112,117 @@ def projection_problem(
     n_levels: int = 8,
     use_scale_gate: bool = False,
     cand_cap: int = 4096,
+    cand: dict | None = None,
+    bank_stats: bool = True,
 ) -> tuple[lm.PoseProblem, dict]:
     """Projection matching -> keypoint-indexed PoseProblem (no solve).
 
-    All post-matching work stays in the frustum-compacted candidate set
-    (cand_cap wide) — the full bank only sees O(bank) projections and
-    O(cand) scatters, never a (bank x keypoints) tensor.
+    All matching work runs in the frustum-compacted candidate set
+    (matching.frustum_candidates) — pass `cand` to share ONE compaction
+    across a frame's solves; bank_stats=False skips the bank-level
+    scatter outputs (candidate solves only need the pose + counts).
     """
-    cam_center = -T_seed[:3, :3].T @ T_seed[:3, 3]
-    dist_w = jnp.linalg.norm(pts["pos"] - cam_center[None], axis=-1)
-    if use_scale_gate and "max_dist" in pts:
-        levels = matching.predict_scale_level(
-            dist_w, pts["max_dist"], scale_factor, n_levels
-        )
-        depth_band = (
-            pts["min_dist"] * 0.8,
-            pts["max_dist"] * 1.2,
-        )
-        view = pts["normal"]
-    else:
-        levels = pts.get("level", jnp.zeros(pts["pos"].shape[0], jnp.int32))
-        depth_band = None
-        view = None
-
-    m = matching.search_by_projection(
-        pts["pos"], pts["desc"], pts["valid"], T_seed, feats, K, image_hw,
-        radius=radius, max_dist=matching.TH_HIGH, scale_factor=scale_factor,
-        point_levels=levels,
-        max_depth_ratio=depth_band, view_dirs=view, cand_cap=cand_cap,
-    )
     n_kp = feats["desc"].shape[0]
     n_bank = pts["pos"].shape[0]
-    c_bank = m["c_bank"]  # (CAND,) bank id, == n_bank for empty slots
-    c_kp = m["c_kp"]
-    c_ok = m["c_ok"]
-    c_safe = jnp.minimum(c_bank, n_bank - 1)
-    if "rot_gate" in pts:
+    if cand is None:
+        cand = matching.frustum_candidates(
+            pts, T_seed, K, image_hw, cand_cap,
+            scale_factor=scale_factor, n_levels=n_levels,
+            use_scale_gate=use_scale_gate,
+        )
+    CAND = cand["pos"].shape[0]
+    h, w = image_hw
+    uv, z = matching.project_points(T_seed, cand["pos"], K)
+    in_img = (
+        (z > 0.05)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < w)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+    )
+    c_valid = cand["valid"] & in_img
+    rad = radius * scale_factor ** cand["level"].astype(jnp.float32)
+    duv = feats["xy_und"][None, :, :] - uv[:, None, :]
+    pix_ok = (jnp.abs(duv[..., 0]) <= rad[:, None]) & (
+        jnp.abs(duv[..., 1]) <= rad[:, None]
+    )
+    pix_ok = pix_ok & (
+        jnp.abs(feats["level"][None, :] - cand["level"][:, None]) <= 1
+    )
+    c_kp, c_dist, c_ok = matching.match_descriptors(
+        cand["desc"], feats["desc"], c_valid, feats["valid"],
+        max_dist=matching.TH_HIGH, extra_mask=pix_ok,
+    )
+    c_ok = matching.resolve_one_to_one(c_kp, c_dist, c_ok, n_kp)
+    if "rot_gate" in cand:
         # rotation-histogram filter over the gated subset (the temporal
         # last-frame block): ORBmatcher::SearchByProjection(Frame, Frame)
         # applies ComputeThreeMaxima to last-frame matches
         # (ORBmatcher.cc:548-678); map points carry no keypoint angle and
         # pass through untouched.
-        gated = pts["rot_gate"][c_safe] & (c_bank < n_bank)
+        gated = cand["rot_gate"] & c_valid
         sub = gated & c_ok
         rot_ok = matching.rotation_consistency_mask(
-            pts["angle"][c_safe], feats["angle"][c_kp], sub
+            cand["angle"], feats["angle"][c_kp], sub
         )
         c_ok = jnp.where(gated, rot_ok, c_ok)
-    # candidate -> keypoint scatter (one-to-one after conflict resolution)
+    # candidate -> keypoint assignment (one-to-one after conflict
+    # resolution; a masked segment reduction, not a serialized scatter)
     tgt = jnp.where(c_ok, c_kp, n_kp)
-    point_of_kp = (
-        jnp.full(n_kp, -1, jnp.int32).at[tgt].max(c_bank, mode="drop")
+    cand_of_kp = matching.segment_max(
+        jnp.arange(CAND, dtype=jnp.int32), tgt, n_kp, -1
     )
-    matched_kp = point_of_kp >= 0
-    pts_kp = pts["pos"][jnp.maximum(point_of_kp, 0)]
+    matched_kp = cand_of_kp >= 0
+    safe_c = jnp.maximum(cand_of_kp, 0)
+    pts_kp = cand["pos"][safe_c]
+    point_of_kp = jnp.where(matched_kp, cand["bank_idx"][safe_c], -1)
     prob = build_point_problem(
         pts_kp, jnp.arange(n_kp, dtype=jnp.int32), matched_kp, feats,
         plane_obs, line_obs,
     )
-    ok_bank = jnp.zeros(n_bank, bool).at[
-        jnp.where(c_ok, c_bank, n_bank)
-    ].set(True, mode="drop")
     aux = {
         "point_of_kp": point_of_kp,
         "matched_kp": matched_kp,
-        "kp_idx": m["kp_idx"],
-        "match_valid": ok_bank,
-        "visible": m["z"] > 0,
+        "visible": cand["visible_bank"],
         "n_matches": jnp.sum(matched_kp),
     }
+    if bank_stats:
+        tgt_bank = jnp.where(c_ok, cand["bank_idx"], n_bank)
+        aux["kp_idx"] = (
+            jnp.zeros(n_bank, jnp.int32).at[tgt_bank].set(c_kp, mode="drop")
+        )
+        aux["match_valid"] = (
+            jnp.zeros(n_bank, bool).at[tgt_bank].set(True, mode="drop")
+        )
     return prob, aux
 
 
 def _projection_post(out: dict, aux: dict, n_bank: int) -> dict:
     """Attach match bookkeeping to a solve result (shared by the tracker
-    variants)."""
+    variants).  Bank-level masks only when the problem was built with
+    bank_stats=True."""
     point_of_kp = aux["point_of_kp"]
     matched_kp = aux["matched_kp"]
-    kp_inlier = out["inlier_mono"] | out["inlier_st"]  # per keypoint
+    kp_inlier = out["inlier_pt"]  # per keypoint
     # per-keypoint matched map/bank id (post-inlier)
     kp_mp = jnp.where(kp_inlier, point_of_kp, -1)
-    # bank-level masks for landmark statistics
-    inlier_bank = (
-        jnp.zeros(n_bank, bool)
-        .at[jnp.maximum(point_of_kp, 0)]
-        .max(kp_inlier & matched_kp, mode="drop")
-    )
     out.update(
         kp_mp=kp_mp,
         kp_inlier=kp_inlier,
-        matched=aux["match_valid"] & inlier_bank,
-        pt_inlier=inlier_bank,
-        kp_idx=aux["kp_idx"],
         n_matches=aux["n_matches"],
         n_pt_inliers=jnp.sum(kp_inlier & matched_kp),
         visible=aux["visible"],
     )
+    if "match_valid" in aux:
+        # bank-level masks for landmark statistics
+        inlier_bank = (
+            jnp.zeros(n_bank, bool)
+            .at[jnp.where(kp_inlier & matched_kp, point_of_kp, n_bank)]
+            .set(True, mode="drop")
+        )
+        out.update(
+            matched=aux["match_valid"] & inlier_bank,
+            pt_inlier=inlier_bank,
+            kp_idx=aux["kp_idx"],
+        )
     return out
 
 
@@ -219,7 +231,7 @@ def _projection_post(out: dict, aux: dict, n_bank: int) -> dict:
     static_argnames=(
         "image_hw", "scale_factor", "n_levels", "translation_only",
         "use_scale_gate", "n_rounds", "n_iters", "cand_cap", "gauss_newton",
-        "use_planes", "use_lines",
+        "use_planes", "use_lines", "bank_stats",
     ),
 )
 def track_projection(
@@ -243,16 +255,20 @@ def track_projection(
     gauss_newton: bool = False,
     use_planes: bool = True,
     use_lines: bool = True,
+    cand: dict | None = None,
+    bank_stats: bool = True,
 ) -> dict:
     """Project landmark set `pts` with seed pose, match, solve.
 
     pts: dict with pos/desc/valid (+ optional normal/min_dist/max_dist for
-    the local-map viewing gates).
+    the local-map viewing gates).  cand: a shared frustum-candidate set
+    (matching.frustum_candidates) to reuse across a frame's solves.
     """
     prob, aux = projection_problem(
         pts, T_seed, feats, K, radius, image_hw, plane_obs, line_obs,
         scale_factor=scale_factor, n_levels=n_levels,
         use_scale_gate=use_scale_gate, cand_cap=cand_cap,
+        cand=cand, bank_stats=bank_stats,
     )
     out = lm.solve_pose(
         prob, T_seed, K, bf, params, translation_only=translation_only,
@@ -326,7 +342,7 @@ def track_descriptors(
         n_rounds=n_rounds, n_iters=n_iters, gauss_newton=gauss_newton,
         use_planes=use_planes, use_lines=use_lines,
     )
-    pt_inlier = out["inlier_mono"] | out["inlier_st"]
+    pt_inlier = out["inlier_pt"]
     out.update(
         kp_idx=idx,
         matched=ok,

@@ -388,11 +388,6 @@ class LocalMapper:
                 self._erase_keyframe(kf)
 
     def _erase_keyframe(self, kf: int) -> None:
-        m = self.map
-        m.kf_valid[kf] = False
-        m.kf_mp_idx[kf] = -1
-        m.covis[kf, :] = 0
-        m.covis[:, kf] = 0
-        # spanning-tree reattachment: children point to this KF's parent
-        parent = m.kf_parent[kf]
-        m.kf_parent[m.kf_parent == kf] = parent
+        # retire through the map so trajectory records re-anchor and the
+        # slot becomes reusable (spanning-tree reattachment included)
+        self.map.retire_keyframe(kf)

@@ -46,6 +46,7 @@ class SurfelMapper:
         }
         self.pose_links: dict[int, set[int]] = {}
         self.n_keyframes = 0
+        self._last_inserted: int | None = None
 
     def reset(self, slam_map: SlamMap) -> None:
         self.__init__(self.cfg, slam_map)
@@ -53,20 +54,30 @@ class SurfelMapper:
     # ------------------------------------------------------------------ API
     def insert_keyframe(
         self, kf_id: int, gray: np.ndarray, depth: np.ndarray, plane_module=None,
-        plane_membership=None,
+        plane_membership=None, ref_kf: int | None = None,
     ) -> None:
         m = self.map
         T_cw = m.kf_pose[kf_id].astype(np.float32)
         T_wc = np.linalg.inv(T_cw)
 
-        # pose-graph link to the previous keyframe (reference links the new
-        # pose to its reference pose, SurfelMapping.cpp:162-168)
+        # pose-graph link to the REFERENCE pose (SurfelMapping.cpp:162-168:
+        # the new pose links to the tracker's reference keyframe, not the
+        # chronological predecessor) — after a relocalization the link
+        # reaches back into the revisited region, so the BFS drift-free
+        # window reactivates the surfels there
         self.pose_links.setdefault(kf_id, set())
         if self.n_keyframes > 0:
-            prev = kf_id - 1
-            self.pose_links[kf_id].add(prev)
-            self.pose_links.setdefault(prev, set()).add(kf_id)
+            link = (
+                ref_kf
+                if ref_kf is not None and ref_kf != kf_id
+                and ref_kf in self.pose_links
+                else self._last_inserted
+            )
+            if link is not None and link != kf_id:
+                self.pose_links[kf_id].add(link)
+                self.pose_links.setdefault(link, set()).add(kf_id)
         self.n_keyframes += 1
+        self._last_inserted = kf_id
 
         # drift-free window: BFS <=10 hops from the current pose
         window = self._bfs_window(kf_id)

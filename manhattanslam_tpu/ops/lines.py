@@ -123,10 +123,23 @@ def _detect_lines_impl(
     rho = xs * ca + ys * sa
     rbin = jnp.clip(((rho + diag) / RHO_BIN).astype(jnp.int32), 0, n_rho - 1)
     flat_bin = abin * n_rho + rbin
-    votes = jnp.zeros((N_ANGLES * n_rho,), jnp.float32).at[
-        flat_bin.ravel()
-    ].add(edge.ravel().astype(jnp.float32))
-    votes = votes.reshape(N_ANGLES, n_rho)
+    # vote accumulation as a one-hot MXU contraction instead of a
+    # scatter-add: votes[a, r] = sum_p edge_p [abin_p==a][rbin_p==r].
+    # The scatter lowers to a serialized per-update loop on TPU (~0.5 ms);
+    # the (A, HW) x (HW, R) bf16 matmul with fused one-hot operands rides
+    # the MXU (exact: products are 0/1, accumulation in f32).
+    a_flat = abin.ravel()
+    r_flat = rbin.ravel()
+    oh_a = (
+        a_flat[:, None] == jnp.arange(N_ANGLES, dtype=jnp.int32)[None, :]
+    ).astype(jnp.bfloat16)
+    oh_r = (
+        r_flat[:, None] == jnp.arange(n_rho, dtype=jnp.int32)[None, :]
+    ).astype(jnp.bfloat16) * edge.ravel().astype(jnp.bfloat16)[:, None]
+    votes = jax.lax.dot_general(
+        oh_a, oh_r, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N_ANGLES, n_rho)
 
     # accumulate split votes from gradient noise (3x3 box sum), then NMS
     vpad = jnp.pad(votes, 1)

@@ -9,8 +9,12 @@ accumulating a 6x6 (or 3x3) normal system over vectorized residuals.
 Residual families (all semantics mirrored from
 Thirdparty/g2o/g2o/types/types_six_dof_expmap.h and plane_3d.h):
 
-- mono point   (2):  obs_uv - project(Tcw * Xw)                     [h:87-91]
-- stereo point (3):  obs_uvr - (project(.), u - bf/z)               [h:136-141]
+- point        (3):  obs_uvr - (project(.), u - bf/z); the third (virtual
+                     right-image) component is weighted out for rows
+                     without depth — this single family fuses the
+                     reference's mono (h:87-91) and stereo (h:136-141)
+                     edge types, halving projection+Jacobian work in the
+                     hot per-iteration loop
 - line endpoint(1):  l . (u, v, 1) for each of the two endpoints    [h:180-189]
 - plane        (3):  (Tcw * pi_w).ominus(pi_obs)                    [h:362-368]
 - parallel pl. (2):  ominus_par (azimuth/elevation only)            [h:465-471]
@@ -24,9 +28,11 @@ reference).  ``translation_only=True`` freezes the rotation — the
 Manhattan decoupled solve (OnlyTranslation edge variants, rotation rows of
 the Jacobian zeroed, h:440-454).
 
-Jacobians come from jax.jacfwd of the residual stack at xi=0 (6 or 3 JVP
-passes over fully vectorized residuals) — no hand-derived Jacobians to get
-wrong, and XLA fuses the whole solve into one program.
+Point/line Jacobians are closed-form; the tiny plane families go through
+ONE jax.linearize of the raw (unweighted) rows per iteration, with the
+IRLS weights applied as row scales afterwards — the ominus transcendental
+chain is evaluated once per iteration, not once for the weights and again
+for the linearization.
 """
 
 from __future__ import annotations
@@ -46,16 +52,13 @@ CHI2_STEREO = 7.815
 class PoseProblem(NamedTuple):
     """Fixed-capacity residual sets. Masks select real entries."""
 
-    # mono points
-    mono_xw: jnp.ndarray  # (Nm, 3)
-    mono_obs: jnp.ndarray  # (Nm, 2)
-    mono_info: jnp.ndarray  # (Nm,) invSigma2
-    mono_mask: jnp.ndarray  # (Nm,) bool
-    # stereo points (u, v, uR)
-    st_xw: jnp.ndarray
-    st_obs: jnp.ndarray  # (Ns, 3)
-    st_info: jnp.ndarray
-    st_mask: jnp.ndarray
+    # points: one fused family; obs = (u, v, uR).  Rows without depth
+    # (mono) carry pt_stereo=False and the third component is weighted out
+    pt_xw: jnp.ndarray  # (N, 3)
+    pt_obs: jnp.ndarray  # (N, 3)
+    pt_info: jnp.ndarray  # (N,) invSigma2
+    pt_stereo: jnp.ndarray  # (N,) bool
+    pt_mask: jnp.ndarray  # (N,) bool
     # line endpoints: one row per endpoint (2 per line)
     ln_xw: jnp.ndarray  # (Nl, 3) endpoint world position
     ln_eq: jnp.ndarray  # (Nl, 3) normalized image-line equation
@@ -74,13 +77,11 @@ class PoseProblem(NamedTuple):
     ver_mask: jnp.ndarray
 
 
-def empty_problem(nm=512, ns=512, nl=128, np_=8, npar=8, nver=8) -> PoseProblem:
+def empty_problem(npt=512, nl=128, np_=8, npar=8, nver=8) -> PoseProblem:
     z = jnp.zeros
     return PoseProblem(
-        mono_xw=z((nm, 3)), mono_obs=z((nm, 2)), mono_info=z((nm,)),
-        mono_mask=z((nm,), bool),
-        st_xw=z((ns, 3)), st_obs=z((ns, 3)), st_info=z((ns,)),
-        st_mask=z((ns,), bool),
+        pt_xw=z((npt, 3)), pt_obs=z((npt, 3)), pt_info=z((npt,)),
+        pt_stereo=z((npt,), bool), pt_mask=z((npt,), bool),
         ln_xw=z((nl, 3)), ln_eq=z((nl, 3)), ln_info=z((nl,)),
         ln_mask=z((nl,), bool),
         pl_w=z((np_, 4)), pl_obs=z((np_, 4)), pl_mask=z((np_,), bool),
@@ -178,6 +179,12 @@ def plane_ominus_ver(pi_self, pi_other):
 
 
 # ------------------------------------------------------------- residual stack
+def _point_comp_mask(prob: PoseProblem):
+    """(N, 3) per-component multiplier: 3rd (uR) component only for stereo."""
+    one = jnp.ones_like(prob.pt_info)
+    return jnp.stack([one, one, prob.pt_stereo.astype(one.dtype)], -1)
+
+
 def _residuals(T_cw, prob: PoseProblem, K, bf, use_planes=True, use_lines=True):
     """Per-family raw residuals at pose T_cw (no weighting).
 
@@ -194,13 +201,10 @@ def _residuals(T_cw, prob: PoseProblem, K, bf, use_planes=True, use_lines=True):
         zi = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
         return pc[:, 0] / zi * fx + cx, pc[:, 1] / zi * fy + cy, z
 
-    # mono
-    mu, mv, _ = proj(prob.mono_xw)
-    r_mono = prob.mono_obs - jnp.stack([mu, mv], -1)  # (Nm,2)
-    # stereo
-    su, sv, sz = proj(prob.st_xw)
-    s_ur = su - bf / jnp.where(jnp.abs(sz) < 1e-9, 1e-9, sz)
-    r_st = prob.st_obs - jnp.stack([su, sv, s_ur], -1)  # (Ns,3)
+    # points (fused mono+stereo)
+    pu, pv, pz = proj(prob.pt_xw)
+    p_ur = pu - bf / jnp.where(jnp.abs(pz) < 1e-9, 1e-9, pz)
+    r_pt = (prob.pt_obs - jnp.stack([pu, pv, p_ur], -1)) * _point_comp_mask(prob)
     # line endpoints: l . (u,v,1)
     if use_lines:
         lu, lv, _ = proj(prob.ln_xw)
@@ -208,7 +212,7 @@ def _residuals(T_cw, prob: PoseProblem, K, bf, use_planes=True, use_lines=True):
             prob.ln_eq[:, 0] * lu + prob.ln_eq[:, 1] * lv + prob.ln_eq[:, 2]
         )[:, None]  # (Nl,1)
     else:
-        r_ln = jnp.zeros((prob.ln_xw.shape[0], 1), r_mono.dtype)
+        r_ln = jnp.zeros((prob.ln_xw.shape[0], 1), r_pt.dtype)
     # planes
     if use_planes:
         pl_c = transform_plane_g2o(T_cw, prob.pl_w)
@@ -218,10 +222,10 @@ def _residuals(T_cw, prob: PoseProblem, K, bf, use_planes=True, use_lines=True):
         ver_c = transform_plane_g2o(T_cw, prob.ver_w)
         r_ver = plane_ominus_ver(ver_c, prob.ver_obs)  # (Nver,2)
     else:
-        r_pl = jnp.zeros((prob.pl_w.shape[0], 3), r_mono.dtype)
-        r_par = jnp.zeros((prob.par_w.shape[0], 2), r_mono.dtype)
-        r_ver = jnp.zeros((prob.ver_w.shape[0], 2), r_mono.dtype)
-    return r_mono, r_st, r_ln, r_pl, r_par, r_ver
+        r_pl = jnp.zeros((prob.pl_w.shape[0], 3), r_pt.dtype)
+        r_par = jnp.zeros((prob.par_w.shape[0], 2), r_pt.dtype)
+        r_ver = jnp.zeros((prob.ver_w.shape[0], 2), r_pt.dtype)
+    return r_pt, r_ln, r_pl, r_par, r_ver
 
 
 class SolveParams(NamedTuple):
@@ -252,16 +256,36 @@ def default_params(cfg=None) -> SolveParams:
     )
 
 
-def _family_chi2(r_mono, r_st, r_ln, r_pl, r_par, r_ver, prob, params):
-    """Per-edge chi2 (information-weighted squared residuals)."""
-    chi_mono = jnp.sum(r_mono**2, -1) * prob.mono_info
-    chi_st = jnp.sum(r_st**2, -1) * prob.st_info
+def _family_chi2(r_pt, r_ln, r_pl, r_par, r_ver, prob, params):
+    """Per-edge chi2 (information-weighted squared residuals).
+
+    The fused point rows already have the uR component zeroed for mono, so
+    summing 3 components reproduces the mono (2-comp) / stereo (3-comp)
+    chi2 split of Optimizer.cc:108-151.
+    """
+    chi_pt = jnp.sum(r_pt**2, -1) * prob.pt_info
     chi_ln = (r_ln[:, 0] ** 2) * prob.ln_info
     w_pl = jnp.stack([params.angle_info, params.angle_info, params.dis_info])
     chi_pl = jnp.sum(r_pl**2 * w_pl[None], -1)
     chi_par = jnp.sum(r_par**2, -1) * params.par_info
     chi_ver = jnp.sum(r_ver**2, -1) * params.ver_info
-    return chi_mono, chi_st, chi_ln, chi_pl, chi_par, chi_ver
+    return chi_pt, chi_ln, chi_pl, chi_par, chi_ver
+
+
+def _pt_chi_th(prob):
+    """Per-row chi2 threshold: 5.991 mono / 7.815 stereo."""
+    return jnp.where(prob.pt_stereo, CHI2_STEREO, CHI2_MONO)
+
+
+def _huber_w(chi2, delta2, mask, huber_on):
+    """Per-edge Huber sqrt-weight at chi2, with delta^2 threshold."""
+    if not huber_on:
+        w = jnp.ones_like(chi2)
+    else:
+        e = jnp.sqrt(jnp.clip(chi2, 1e-12))
+        delta = jnp.sqrt(delta2)
+        w = jnp.where(e <= delta, 1.0, jnp.sqrt(delta / e))
+    return jnp.where(mask, w, 0.0)
 
 
 def _robust_weights(prob, params, masks, huber_on, T_cw, K, bf, rs=None,
@@ -272,37 +296,28 @@ def _robust_weights(prob, params, masks, huber_on, T_cw, K, bf, rs=None,
     kernel rescales the quadratic model around the current estimate; the
     weight is not differentiated through.
     """
-    m_mono, m_st, m_ln, m_pl, m_par, m_ver = masks
+    m_pt, m_ln, m_pl, m_par, m_ver = masks
     if rs is None:
         rs = _residuals(T_cw, prob, K, bf, use_planes, use_lines)
     chi = _family_chi2(*rs, prob, params)
-
-    def hw(chi2, delta, mask):
-        if not huber_on:
-            w = jnp.ones_like(chi2)
-        else:
-            e = jnp.sqrt(jnp.clip(chi2, 1e-12))
-            w = jnp.where(e <= delta, 1.0, jnp.sqrt(delta / e))
-        return jnp.where(mask, w, 0.0)
-
     return (
-        hw(chi[0], jnp.sqrt(CHI2_MONO), m_mono) * jnp.sqrt(prob.mono_info),
-        hw(chi[1], jnp.sqrt(CHI2_STEREO), m_st) * jnp.sqrt(prob.st_info),
-        hw(chi[2], jnp.sqrt(CHI2_STEREO), m_ln) * jnp.sqrt(prob.ln_info),
-        hw(chi[3], jnp.sqrt(params.plane_chi), m_pl),
-        hw(chi[4], jnp.sqrt(params.vp_chi), m_par),
-        hw(chi[5], jnp.sqrt(params.vp_chi), m_ver),
+        _huber_w(chi[0], _pt_chi_th(prob), m_pt, huber_on)
+        * jnp.sqrt(prob.pt_info),
+        _huber_w(chi[1], CHI2_STEREO, m_ln, huber_on) * jnp.sqrt(prob.ln_info),
+        _huber_w(chi[2], params.plane_chi, m_pl, huber_on),
+        _huber_w(chi[3], params.vp_chi, m_par, huber_on),
+        _huber_w(chi[4], params.vp_chi, m_ver, huber_on),
     )
 
 
 def _weighted_flat(prob, params, masks, weights, T_cw, K, bf, rs=None,
                    use_planes=True, use_lines=True):
     """Flat weighted residual vector with given (frozen) per-edge weights."""
-    m_mono, m_st, m_ln, m_pl, m_par, m_ver = masks
-    w_mono, w_st, w_ln, w_pl, w_par, w_ver = weights
+    m_pt, m_ln, m_pl, m_par, m_ver = masks
+    w_pt, w_ln, w_pl, w_par, w_ver = weights
     if rs is None:
         rs = _residuals(T_cw, prob, K, bf, use_planes, use_lines)
-    r_mono, r_st, r_ln, r_pl, r_par, r_ver = rs
+    r_pt, r_ln, r_pl, r_par, r_ver = rs
 
     sqrt_pl = jnp.sqrt(
         jnp.stack([params.angle_info, params.angle_info, params.dis_info])
@@ -317,8 +332,7 @@ def _weighted_flat(prob, params, masks, weights, T_cw, K, bf, rs=None,
 
     return jnp.concatenate(
         [
-            guard(m_mono, r_mono * w_mono[:, None]),
-            guard(m_st, r_st * w_st[:, None]),
+            guard(m_pt, r_pt * w_pt[:, None]),
             guard(m_ln, r_ln * w_ln[:, None]),
             guard(m_pl, r_pl * sqrt_pl[None] * w_pl[:, None]),
             guard(m_par, r_par * sqrt_par * w_par[:, None]),
@@ -329,17 +343,17 @@ def _weighted_flat(prob, params, masks, weights, T_cw, K, bf, rs=None,
 
 def _point_jacobians(T_cw, prob: PoseProblem, K, bf, translation_only,
                      use_lines=True):
-    """Closed-form Jacobians of the point/stereo/line residual rows wrt
-    the pose increment xi (translation-first, left-multiplied retraction
+    """Closed-form Jacobians of the point/line residual rows wrt the pose
+    increment xi (translation-first, left-multiplied retraction
     T' = exp(xi) @ T, matching se3.exp_se3).
 
     d pc/d xi at xi=0 is [I | -hat(pc)]; residuals are obs - pred for
     points (negative projection Jacobian) and l . (u, v, 1) for lines
-    (positive).  Returns (Jm (Nm,2,dof), Js (Ns,3,dof), Jl (Nl,1,dof)).
+    (positive).  Returns (Jp (N,3,dof), Jl (Nl,1,dof)); the mono rows'
+    third (uR) Jacobian row is zeroed via the component mask.
     The tiny plane families stay on jax.linearize.
     """
     fx, fy = K[0, 0], K[1, 1]
-    dof = 3 if translation_only else 6
 
     def cam(pw):
         return pw @ T_cw[:3, :3].T + T_cw[:3, 3]
@@ -360,19 +374,15 @@ def _point_jacobians(T_cw, prob: PoseProblem, K, bf, translation_only,
         row_v = jnp.stack([zero, fy * zi, -fy * pc[:, 1] * zi * zi], -1)
         return jnp.stack([row_u, row_v], -2)
 
-    # mono: r = obs - (u, v)
-    pc_m = cam(prob.mono_xw)
-    Jm = -(duv_dpc(pc_m) @ dpc_dxi(pc_m))  # (Nm,2,dof)
-
-    # stereo: r = obs - (u, v, u - bf/z)
-    pc_s = cam(prob.st_xw)
-    A_uv = duv_dpc(pc_s)
-    z = pc_s[:, 2]
+    # points: r = obs - (u, v, u - bf/z); mono rows masked on the 3rd comp
+    pc_p = cam(prob.pt_xw)
+    A_uv = duv_dpc(pc_p)
+    z = pc_p[:, 2]
     zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     zero = jnp.zeros_like(z)
     row_ur = A_uv[:, 0] + jnp.stack([zero, zero, bf * zi * zi], -1)
-    A_st = jnp.concatenate([A_uv, row_ur[:, None, :]], axis=-2)  # (Ns,3,3)
-    Js = -(A_st @ dpc_dxi(pc_s))
+    A_pt = jnp.concatenate([A_uv, row_ur[:, None, :]], axis=-2)  # (N,3,3)
+    Jp = -(A_pt @ dpc_dxi(pc_p)) * _point_comp_mask(prob)[:, :, None]
 
     # line endpoint: r = l0*u + l1*v + l2 (positive sign)
     if use_lines:
@@ -385,36 +395,61 @@ def _point_jacobians(T_cw, prob: PoseProblem, K, bf, translation_only,
         Jl = lrow @ dpc_dxi(pc_l)
     else:
         dof_ = 3 if translation_only else 6
-        Jl = jnp.zeros((prob.ln_xw.shape[0], 1, dof_), Jm.dtype)
+        Jl = jnp.zeros((prob.ln_xw.shape[0], 1, dof_), Jp.dtype)
 
-    del dof
-    return Jm, Js, Jl
+    return Jp, Jl
 
 
-def _plane_rows_flat(T_cw, prob: PoseProblem, params, masks, weights):
-    """Weighted flat residual vector of the plane families only."""
+def _plane_rows_raw(T_cw, prob: PoseProblem, masks):
+    """UNWEIGHTED masked plane-family residual rows, one flat vector.
+
+    Returns the concatenation [pl (Np*3), par (Npar*2), ver (Nver*2)];
+    the IRLS weights and sqrt-information are applied OUTSIDE as row
+    scales (residual rows scale linearly, so the linearization of the raw
+    rows is reused for both the weight computation and the normal system
+    — the ominus transcendentals run once per iteration, not twice).
+    """
     m_pl, m_par, m_ver = masks
-    w_pl, w_par, w_ver = weights
     pl_c = transform_plane_g2o(T_cw, prob.pl_w)
     r_pl = plane_ominus(pl_c, prob.pl_obs)
     par_c = transform_plane_g2o(T_cw, prob.par_w)
     r_par = plane_ominus_par(par_c, prob.par_obs)
     ver_c = transform_plane_g2o(T_cw, prob.ver_w)
     r_ver = plane_ominus_ver(ver_c, prob.ver_obs)
-    sqrt_pl = jnp.sqrt(
-        jnp.stack([params.angle_info, params.angle_info, params.dis_info])
-    )
 
-    def guard(mask, wr):
-        return jnp.where(mask[:, None], wr, 0.0).ravel()
+    def guard(mask, r):
+        return jnp.where(mask[:, None], r, 0.0).ravel()
 
     return jnp.concatenate(
+        [guard(m_pl, r_pl), guard(m_par, r_par), guard(m_ver, r_ver)]
+    )
+
+
+def _plane_row_scales(rp_raw, prob, params, masks, huber_on):
+    """Per-flat-row scale (sqrt-info x Huber x mask) for the raw plane rows
+    + the families' chi2 (computed from the same primal residuals)."""
+    np_, npar, nver = (
+        prob.pl_mask.shape[0], prob.par_mask.shape[0], prob.ver_mask.shape[0]
+    )
+    m_pl, m_par, m_ver = masks
+    r_pl = rp_raw[: np_ * 3].reshape(np_, 3)
+    r_par = rp_raw[np_ * 3 : np_ * 3 + npar * 2].reshape(npar, 2)
+    r_ver = rp_raw[np_ * 3 + npar * 2 :].reshape(nver, 2)
+    w_pl_c = jnp.stack([params.angle_info, params.angle_info, params.dis_info])
+    chi_pl = jnp.sum(r_pl**2 * w_pl_c[None], -1)
+    chi_par = jnp.sum(r_par**2, -1) * params.par_info
+    chi_ver = jnp.sum(r_ver**2, -1) * params.ver_info
+    w_pl = _huber_w(chi_pl, params.plane_chi, m_pl, huber_on)
+    w_par = _huber_w(chi_par, params.vp_chi, m_par, huber_on)
+    w_ver = _huber_w(chi_ver, params.vp_chi, m_ver, huber_on)
+    scales = jnp.concatenate(
         [
-            guard(m_pl, r_pl * sqrt_pl[None] * w_pl[:, None]),
-            guard(m_par, r_par * jnp.sqrt(params.par_info) * w_par[:, None]),
-            guard(m_ver, r_ver * jnp.sqrt(params.ver_info) * w_ver[:, None]),
+            (w_pl[:, None] * jnp.sqrt(w_pl_c)[None]).ravel(),
+            (w_par * jnp.sqrt(params.par_info)).repeat(2),
+            (w_ver * jnp.sqrt(params.ver_info)).repeat(2),
         ]
     )
+    return scales
 
 
 @partial(
@@ -440,12 +475,12 @@ def solve_pose(
 ) -> dict:
     """Run the 4x10 LM schedule.  Returns dict with T, inlier masks, chi2.
 
-    analytic=True (default) uses closed-form Jacobians for the
-    point/stereo/line rows (one primal pass + algebra instead of 6 JVP
-    tangent passes); the tiny plane families always go through
-    jax.linearize.  analytic=False keeps the all-AD path for parity
-    testing.  gauss_newton=True (requires analytic) drops the LM
-    accept/reject pass — use for short candidate schedules only.
+    analytic=True (default) uses closed-form Jacobians for the point/line
+    rows (one primal pass + algebra instead of 6 JVP tangent passes); the
+    tiny plane families always go through jax.linearize.  analytic=False
+    keeps the all-AD path for parity testing.  gauss_newton=True (requires
+    analytic) drops the LM accept/reject pass — use for short candidate
+    schedules only.
     """
     if gauss_newton and not analytic:
         raise ValueError("gauss_newton requires the analytic path")
@@ -458,8 +493,7 @@ def solve_pose(
 
     zmask = jnp.zeros
     masks0 = (
-        prob.mono_mask,
-        prob.st_mask,
+        prob.pt_mask,
         prob.ln_mask if use_lines else zmask(prob.ln_mask.shape, bool),
         prob.pl_mask if use_planes else zmask(prob.pl_mask.shape, bool),
         prob.par_mask if use_planes else zmask(prob.par_mask.shape, bool),
@@ -467,12 +501,13 @@ def solve_pose(
     )
 
     def run_round(T, masks, huber_on):
+        m_pt, m_ln, m_pl, m_par, m_ver = masks
+        pmasks = (m_pl, m_par, m_ver)
+
         def lm_iter_ad(carry, _):
             T, lam = carry
             # ONE primal residual evaluation shared by the IRLS weights and
-            # the weighted residual vector (the residual stack is evaluated
-            # ~70 times per frame across the LM schedules — primal sharing
-            # matters)
+            # the weighted residual vector
             rs = _residuals(T, prob, K, bf, use_planes, use_lines)
             w = _robust_weights(prob, params, masks, huber_on, T, K, bf, rs=rs)
 
@@ -483,8 +518,6 @@ def solve_pose(
                 )
 
             r0 = _weighted_flat(prob, params, masks, w, T, K, bf, rs=rs)
-            # linearize shares the primal pass; the 6 basis tangents are
-            # linear-cost (vs jacfwd re-deriving the primal we already have)
             _, jvp_fn = jax.linearize(
                 lambda xi: flat_at(retract(T, xi)), jnp.zeros((dof,), T.dtype)
             )
@@ -500,55 +533,56 @@ def solve_pose(
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
             return (T, jnp.clip(lam, 1e-8, 1e6)), None
 
-        def lm_iter_an(carry, _):
-            T, lam = carry
-            rs = _residuals(T, prob, K, bf, use_planes, use_lines)
-            w = _robust_weights(prob, params, masks, huber_on, T, K, bf, rs=rs)
-            w_mono, w_st, w_ln, w_pl, w_par, w_ver = w
-            m_mono, m_st, m_ln, m_pl, m_par, m_ver = masks
-            r_mono, r_st, r_ln = rs[0], rs[1], rs[2]
-
-            # point/stereo/line rows: closed-form J, weighted + masked
-            Jm, Js, Jl = _point_jacobians(
+        def point_system(T):
+            """H, g, cost of the point+line rows at T (closed-form J)."""
+            rs = _residuals(T, prob, K, bf, use_planes=False,
+                            use_lines=use_lines)
+            r_pt, r_ln = rs[0], rs[1]
+            chi_pt = jnp.sum(r_pt**2, -1) * prob.pt_info
+            w_pt = _huber_w(chi_pt, _pt_chi_th(prob), m_pt, huber_on) * jnp.sqrt(
+                prob.pt_info
+            )
+            Jp, Jl = _point_jacobians(
                 T, prob, K, bf, translation_only, use_lines=use_lines
             )
 
-            def acc(Jf, rf, wf, mf):
-                wm = jnp.where(mf, wf, 0.0)
-                Jw = Jf * wm[:, None, None]
-                rw = rf * wm[:, None]
+            def acc(Jf, rf, wf):
+                Jw = Jf * wf[:, None, None]
+                rw = rf * wf[:, None]
                 Hf = jnp.einsum("nrd,nre->de", Jw, Jw)
                 gf = jnp.einsum("nrd,nr->d", Jw, rw)
                 cf = jnp.sum(rw * rw)
                 return Hf, gf, cf
 
-            Hm, gm, cm = acc(Jm, r_mono, w_mono, m_mono)
-            Hs, gs, cs = acc(Js, r_st, w_st, m_st)
-            H = Hm + Hs
-            g = gm + gs
-            prev_cost = 0.5 * (cm + cs)
+            H, g, cost = acc(Jp, r_pt, w_pt)
             if use_lines:
-                Hl, gl, cl = acc(Jl, r_ln, w_ln, m_ln)
-                H = H + Hl
-                g = g + gl
-                prev_cost = prev_cost + 0.5 * cl
-            if use_planes:
-                # plane families via linearize (<= 24 rows)
-                pm = (m_pl, m_par, m_ver)
-                pw_ = (w_pl, w_par, w_ver)
-
-                def pl_flat(T_):
-                    return _plane_rows_flat(T_, prob, params, pm, pw_)
-
-                rp0, jvp_p = jax.linearize(
-                    lambda xi: pl_flat(retract(T, xi)),
-                    jnp.zeros((dof,), T.dtype),
+                chi_ln = (r_ln[:, 0] ** 2) * prob.ln_info
+                w_ln = _huber_w(chi_ln, CHI2_STEREO, m_ln, huber_on) * jnp.sqrt(
+                    prob.ln_info
                 )
-                Jp = jax.vmap(jvp_p)(jnp.eye(dof, dtype=T.dtype)).T
-                H = H + Jp.T @ Jp
-                g = g + Jp.T @ rp0
-                prev_cost = prev_cost + 0.5 * jnp.sum(rp0 * rp0)
+                Hl, gl, cl = acc(Jl, r_ln, w_ln)
+                H, g, cost = H + Hl, g + gl, cost + cl
+            return H, g, 0.5 * cost
 
+        def plane_system(T):
+            """H, g, cost of the plane families at T (one linearize of the
+            raw rows; weights applied as row scales)."""
+            rp_raw, jvp_p = jax.linearize(
+                lambda xi: _plane_rows_raw(retract(T, xi), prob, pmasks),
+                jnp.zeros((dof,), T.dtype),
+            )
+            Jp_raw = jax.vmap(jvp_p)(jnp.eye(dof, dtype=T.dtype)).T  # (R, dof)
+            s = _plane_row_scales(rp_raw, prob, params, pmasks, huber_on)
+            rw = rp_raw * s
+            Jw = Jp_raw * s[:, None]
+            return Jw.T @ Jw, Jw.T @ rw, 0.5 * jnp.sum(rw * rw)
+
+        def lm_iter_an(carry, _):
+            T, lam = carry
+            H, g, prev_cost = point_system(T)
+            if use_planes:
+                Hq, gq, cq = plane_system(T)
+                H, g, prev_cost = H + Hq, g + gq, prev_cost + cq
             step = -jnp.linalg.solve(H + lam * jnp.eye(dof, dtype=T.dtype), g)
             T_new = retract(T, step)
             if gauss_newton:
@@ -561,9 +595,12 @@ def solve_pose(
                 )
                 T = jnp.where(ok, T_new, T)
                 return (T, lam), None
-            rs_n = _residuals(T_new, prob, K, bf, use_planes, use_lines)
-            r_new = _weighted_flat(prob, params, masks, w, T_new, K, bf, rs=rs_n)
-            new_cost = 0.5 * jnp.sum(r_new * r_new)
+            # accept/reject with weights re-frozen at T_new (IRLS cost)
+            _, _, c_pt = point_system(T_new)
+            new_cost = c_pt
+            if use_planes:
+                _, _, c_pl = plane_system(T_new)
+                new_cost = new_cost + c_pl
             accept = (new_cost < prev_cost) & jnp.all(jnp.isfinite(step))
             T = jnp.where(accept, T_new, T)
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
@@ -584,26 +621,27 @@ def solve_pose(
         rs = _residuals(T, prob, K, bf, use_planes, use_lines)
         chi = _family_chi2(*rs, prob, params)
         masks = (
-            masks0[0] & (chi[0] <= CHI2_MONO),
-            masks0[1] & (chi[1] <= CHI2_STEREO),
-            masks0[2] & (chi[2] <= 2.0 * CHI2_MONO),
-            masks0[3] & (chi[3] <= params.plane_chi),
+            masks0[0] & (chi[0] <= _pt_chi_th(prob)),
+            masks0[1] & (chi[1] <= 2.0 * CHI2_MONO),
+            masks0[2] & (chi[2] <= params.plane_chi),
+            masks0[3] & (chi[3] <= params.vp_chi),
             masks0[4] & (chi[4] <= params.vp_chi),
-            masks0[5] & (chi[5] <= params.vp_chi),
         )
 
     rs = _residuals(T, prob, K, bf, use_planes, use_lines)
     chi = _family_chi2(*rs, prob, params)
     n_inlier = sum(jnp.sum(m) for m in masks)
     total_chi = sum(jnp.sum(jnp.where(m, c, 0.0)) for m, c in zip(masks, chi))
+    inlier_pt = masks[0]
     return {
         "T": T,
-        "inlier_mono": masks[0],
-        "inlier_st": masks[1],
-        "inlier_ln": masks[2],
-        "inlier_pl": masks[3],
-        "inlier_par": masks[4],
-        "inlier_ver": masks[5],
+        "inlier_pt": inlier_pt,
+        "inlier_mono": inlier_pt & ~prob.pt_stereo,
+        "inlier_st": inlier_pt & prob.pt_stereo,
+        "inlier_ln": masks[1],
+        "inlier_pl": masks[2],
+        "inlier_par": masks[3],
+        "inlier_ver": masks[4],
         "n_inliers": n_inlier,
         "chi2": total_chi,
     }

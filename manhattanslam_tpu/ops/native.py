@@ -60,9 +60,14 @@ def have_native() -> bool:
 
 def ahc_merge_native(
     stats: dict, grid_shape: tuple[int, int], min_support: int,
-    angle_cos: float = 0.93,
+    angle_cos: float | None = None,
 ) -> np.ndarray | None:
-    """C++ AHC merge; returns labels (B,) int32 or None if unavailable."""
+    """C++ AHC merge; returns labels (B,) int32 or None if unavailable.
+
+    angle_cos=None selects the dynamic T_ang(INIT, z) gate in the C++
+    (sentinel -1); a float forces a fixed normal gate."""
+    if angle_cos is None:
+        angle_cos = -1.0
     lib = _load()
     if not lib:
         return None

@@ -86,7 +86,7 @@ def _make_brief_kernel(patch_w: int):
 
 
 @partial(jax.jit, static_argnames=("patch_w", "interpret"))
-def brief_samples_pallas(
+def _brief_samples_single(
     blurred: jnp.ndarray,
     corner: jnp.ndarray,  # (N, 2) int32 patch top-left (y, x)
     syr: jnp.ndarray,  # (N, 512) int32 row index within patch
@@ -115,6 +115,103 @@ def brief_samples_pallas(
         interpret=interpret,
     )(corner.astype(jnp.int32), blurred, syr, sxr)
     return out[:n]
+
+
+def _make_brief_kernel_batched(patch_w: int):
+    def _kernel(corner_ref, img_ref, syr_ref, sxr_ref, out_ref):
+        """Batched variant: grid (batch, keypoint blocks); each step sees
+        one batch element's image block + KP_BLOCK keypoints."""
+        for k in range(KP_BLOCK):
+            y0 = pl.multiple_of(corner_ref[0, k, 0], 8)
+            x0 = pl.multiple_of(corner_ref[0, k, 1], 128)
+            patch = img_ref[0, pl.ds(y0, PATCH_H), pl.ds(x0, patch_w)]
+            syr = syr_ref[0, k, :]
+            sxr = sxr_ref[0, k, :]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (PATCH_H, 512), 0)
+            oh_r = (rows == syr[None, :]).astype(jnp.float32)
+            tmp = jax.lax.dot_general(
+                oh_r, patch, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            cols = jax.lax.broadcasted_iota(jnp.int32, (512, patch_w), 1)
+            oh_c = (cols == sxr[:, None]).astype(jnp.float32)
+            out_ref[0, k, :] = jnp.sum(tmp * oh_c, axis=1)
+
+    return _kernel
+
+
+@partial(jax.jit, static_argnames=("patch_w", "interpret"))
+def _brief_samples_batched(
+    blurred: jnp.ndarray,  # (B, Hp, Wp)
+    corner: jnp.ndarray,  # (B, N, 2)
+    syr: jnp.ndarray,  # (B, N, 512)
+    sxr: jnp.ndarray,
+    patch_w: int = PATCH_W,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, n = corner.shape[:2]
+    n_pad = -(-n // KP_BLOCK) * KP_BLOCK
+    if n_pad != n:
+        corner = jnp.pad(corner, ((0, 0), (0, n_pad - n), (0, 0)))
+        syr = jnp.pad(syr, ((0, 0), (0, n_pad - n), (0, 0)))
+        sxr = jnp.pad(sxr, ((0, 0), (0, n_pad - n), (0, 0)))
+    out = pl.pallas_call(
+        _make_brief_kernel_batched(patch_w),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, 512), blurred.dtype),
+        grid=(b, n_pad // KP_BLOCK),
+        in_specs=[
+            pl.BlockSpec(
+                (1, KP_BLOCK, 2), lambda bi, i: (bi, i, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + blurred.shape[1:], lambda bi, i: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, KP_BLOCK, 512), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, KP_BLOCK, 512), lambda bi, i: (bi, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, KP_BLOCK, 512), lambda bi, i: (bi, i, 0)),
+        interpret=interpret,
+    )(corner.astype(jnp.int32), blurred, syr, sxr)
+    return out[:, :n]
+
+
+_BRIEF_CV_CACHE: dict = {}
+
+
+def brief_samples_pallas(
+    blurred, corner, syr, sxr, patch_w: int = PATCH_W, interpret: bool = False
+):
+    """(N, 512) sampled intensities; vmap-batchable via a custom_vmap rule
+    that grids over (batch x keypoint block) instead of falling back to
+    the jnp gather path."""
+    key = (patch_w, bool(interpret))
+    f = _BRIEF_CV_CACHE.get(key)
+    if f is None:
+
+        @jax.custom_batching.custom_vmap
+        def brief_cv(blurred, corner, syr, sxr):
+            return _brief_samples_single(
+                blurred, corner, syr, sxr, patch_w=key[0], interpret=key[1]
+            )
+
+        @brief_cv.def_vmap
+        def _rule(axis_size, in_batched, blurred, corner, syr, sxr):  # noqa: ANN001
+            args = []
+            for a, b_ in zip((blurred, corner, syr, sxr), in_batched):
+                if not b_:
+                    a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                args.append(a)
+            return (
+                _brief_samples_batched(
+                    *args, patch_w=key[0], interpret=key[1]
+                ),
+                True,
+            )
+
+        _BRIEF_CV_CACHE[key] = f = brief_cv
+    return f(blurred, corner, syr, sxr)
 
 
 def _make_moments_kernel(patch_w: int):
@@ -162,7 +259,7 @@ def _make_moments_kernel(patch_w: int):
 
 
 @partial(jax.jit, static_argnames=("patch_w", "interpret"))
-def _ic_moments_pallas(img, kp, patch_w, interpret=False):
+def _ic_moments_single(img, kp, patch_w, interpret=False):
     n = kp.shape[0]
     n_pad = -(-n // KP_BLOCK) * KP_BLOCK
     if n_pad != n:
@@ -179,6 +276,94 @@ def _ic_moments_pallas(img, kp, patch_w, interpret=False):
         interpret=interpret,
     )(kp.astype(jnp.int32), img)
     return out[:n]
+
+
+def _make_moments_kernel_batched(patch_w: int):
+    from manhattanslam_tpu.ops.orb import HALF_PATCH, UMAX
+
+    r = HALF_PATCH
+
+    def _kernel(kp_ref, img_ref, out_ref):
+        for k in range(KP_BLOCK):
+            y0 = pl.multiple_of(kp_ref[0, k, 0], 8)
+            x0 = pl.multiple_of(kp_ref[0, k, 1], 128)
+            ky = kp_ref[0, k, 2]
+            kx = kp_ref[0, k, 3]
+            patch = img_ref[0, pl.ds(y0, PATCH_H), pl.ds(x0, patch_w)]
+            dy = (
+                jax.lax.broadcasted_iota(jnp.int32, (PATCH_H, patch_w), 0)
+                + y0 - ky
+            )
+            dx = (
+                jax.lax.broadcasted_iota(jnp.int32, (PATCH_H, patch_w), 1)
+                + x0 - kx
+            )
+            ady = jnp.abs(dy)
+            umax = jnp.zeros_like(dy)
+            for a, u in enumerate(UMAX[: r + 1]):
+                umax = jnp.where(ady == a, u, umax)
+            mask = (ady <= r) & (jnp.abs(dx) <= umax)
+            vals = jnp.where(mask, patch, 0.0)
+            m01 = jnp.sum(vals * dy.astype(jnp.float32))
+            m10 = jnp.sum(vals * dx.astype(jnp.float32))
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            out_ref[0, k, :] = jnp.where(
+                lane == 0, m01, jnp.where(lane == 1, m10, 0.0)
+            )[0]
+
+    return _kernel
+
+
+@partial(jax.jit, static_argnames=("patch_w", "interpret"))
+def _ic_moments_batched(img, kp, patch_w, interpret=False):
+    b, n = kp.shape[:2]
+    n_pad = -(-n // KP_BLOCK) * KP_BLOCK
+    if n_pad != n:
+        kp = jnp.pad(kp, ((0, 0), (0, n_pad - n), (0, 0)))
+    out = pl.pallas_call(
+        _make_moments_kernel_batched(patch_w),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, 128), img.dtype),
+        grid=(b, n_pad // KP_BLOCK),
+        in_specs=[
+            pl.BlockSpec(
+                (1, KP_BLOCK, 4), lambda bi, i: (bi, i, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + img.shape[1:], lambda bi, i: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, KP_BLOCK, 128), lambda bi, i: (bi, i, 0)),
+        interpret=interpret,
+    )(kp.astype(jnp.int32), img)
+    return out[:, :n]
+
+
+_MOMENTS_CV_CACHE: dict = {}
+
+
+def _ic_moments_pallas(img, kp, patch_w, interpret=False):
+    """vmap-batchable IC-moments kernel dispatch (see brief_samples_pallas)."""
+    key = (patch_w, bool(interpret))
+    f = _MOMENTS_CV_CACHE.get(key)
+    if f is None:
+
+        @jax.custom_batching.custom_vmap
+        def moments_cv(img, kp):
+            return _ic_moments_single(img, kp, key[0], key[1])
+
+        @moments_cv.def_vmap
+        def _rule(axis_size, in_batched, img, kp):  # noqa: ANN001
+            args = []
+            for a, b_ in zip((img, kp), in_batched):
+                if not b_:
+                    a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                args.append(a)
+            return _ic_moments_batched(*args, key[0], key[1]), True
+
+        _MOMENTS_CV_CACHE[key] = f = moments_cv
+    return f(img, kp)
 
 
 def ic_angle_pallas(

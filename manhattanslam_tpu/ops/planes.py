@@ -31,6 +31,32 @@ from manhattanslam_tpu.ops import eig33
 
 BLOCK = 10  # AHCPlaneFitter windowWidth/Height
 
+# PEAC dynamic threshold model (AHCParamSet.hpp:68-146), converted from the
+# reference's millimeter units to meters: point-plane std at depth z is
+# sigma(z) = DEPTH_SIGMA * z^2 + stdTol (Kinect noise model).
+DEPTH_SIGMA = 1.6e-3  # [1/m]; reference depthSigma=1.6e-6 [1/mm]
+STD_TOL_INIT = 0.005  # [m]; stdTol_init = 5 mm
+STD_TOL_MERGE = 0.008  # [m]; stdTol_merge = 8 mm
+Z_NEAR, Z_FAR = 0.5, 4.0  # [m]; z_near=500 mm, z_far=4000 mm
+ANG_NEAR = float(np.radians(15.0))
+ANG_FAR = float(np.radians(90.0))
+DEPTH_ALPHA, DEPTH_CHANGE_TOL = 0.04, 0.02  # T_dz = alpha*z + tol
+
+
+def t_mse(z, merge: bool = True):
+    """Dynamic MSE threshold T_mse(z) (AHCParamSet.hpp:86-99), m^2."""
+    tol = STD_TOL_MERGE if merge else STD_TOL_INIT
+    s = DEPTH_SIGMA * z * z + tol
+    return s * s
+
+
+def t_ang_cos(z, xp=jnp):
+    """cos of the dynamic normal-deviation threshold T_ang(INIT, z)
+    (AHCParamSet.hpp:100-128): angle 15 deg at 0.5 m -> 90 deg at 4 m."""
+    zc = xp.clip(z, Z_NEAR, Z_FAR)
+    ang = ANG_NEAR + (ANG_FAR - ANG_NEAR) * (zc - Z_NEAR) / (Z_FAR - Z_NEAR)
+    return xp.cos(ang)
+
 
 @partial(jax.jit, static_argnames=("stride",))
 def depth_to_points(depth: jnp.ndarray, K: jnp.ndarray, stride: int = 2):
@@ -82,7 +108,7 @@ def block_stats(points: jnp.ndarray, block: int = BLOCK) -> dict:
 
     # depth-continuity: blocks containing an adjacent-pixel depth jump are
     # not planar seeds (a tilted plane has a smooth gradient; an occlusion
-    # edge has a step).  Jump threshold scales with depth.
+    # edge has a step).  T_dz(z) = 0.04 z + 0.02 (AHCParamSet.hpp:131-146).
     z_img = points[: bh * block, : bw * block, 2]
     jump_x = jnp.abs(jnp.diff(z_img, axis=1, prepend=z_img[:, :1]))
     jump_y = jnp.abs(jnp.diff(z_img, axis=0, prepend=z_img[:1, :]))
@@ -94,7 +120,10 @@ def block_stats(points: jnp.ndarray, block: int = BLOCK) -> dict:
     )
     max_jump = jnp.nanmax(jump_blocks, axis=1)
     z_mean = mean[:, 2]
-    depth_ok = max_jump < jnp.maximum(0.06, 0.04 * z_mean)
+    depth_ok = max_jump < DEPTH_ALPHA * z_mean + DEPTH_CHANGE_TOL
+    # planarity seed gate: block MSE under the dynamic INIT threshold
+    # (initGraph rejects non-planar seeds, T_mse(P_INIT, z))
+    planar_ok = mse < t_mse(z_mean, merge=False)
 
     return {
         "n": n_valid,
@@ -103,16 +132,16 @@ def block_stats(points: jnp.ndarray, block: int = BLOCK) -> dict:
         "mean": mean,
         "normal": normal,
         "mse": mse,
-        "valid": all_valid & depth_ok & jnp.isfinite(mse),
+        "valid": all_valid & depth_ok & planar_ok & jnp.isfinite(mse),
     }
 
 
-@partial(jax.jit, static_argnames=("grid_shape", "n_iters"))
+@partial(jax.jit, static_argnames=("grid_shape", "n_iters", "angle_cos"))
 def merge_blocks_device(
     stats: dict,
     grid_shape: tuple[int, int],
     min_support: jnp.ndarray,
-    angle_cos: float = 0.93,
+    angle_cos: float | None = None,
     n_iters: int = 64,
 ):
     """Device-side block merging by min-label propagation.
@@ -145,8 +174,13 @@ def merge_blocks_device(
         # mutual plane-consistency: each centroid close to the other's plane
         d12 = jnp.abs(jnp.sum((m2 - mean) * normal, -1))
         d21 = jnp.abs(jnp.sum((mean - m2) * n2, -1))
-        tol = 0.01 + 0.012 * mean[..., 2]
-        ok = (dot > angle_cos) & (d12 < tol) & (d21 < tol) & valid & v2
+        zbar = 0.5 * (mean[..., 2] + m2[..., 2])
+        # 2-sigma point-plane tolerance from the dynamic noise model (the
+        # label-propagation analog of PEAC's merged-MSE < T_mse gate)
+        tol = 2.0 * (DEPTH_SIGMA * zbar * zbar + STD_TOL_MERGE)
+        # normal gate: dynamic T_ang(INIT, z) unless a fixed cos is forced
+        cos_th = t_ang_cos(zbar) if angle_cos is None else angle_cos
+        ok = (dot > cos_th) & (d12 < tol) & (d21 < tol) & valid & v2
         # forbid wrap-around edges
         ys = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
         xs = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
@@ -219,7 +253,7 @@ def _mse_threshold(z: float) -> float:
 
 def merge_blocks(
     stats: dict, grid_shape: tuple[int, int], min_support: int,
-    angle_cos: float = 0.93, use_native: bool | None = None,
+    angle_cos: float | None = None, use_native: bool | None = None,
 ) -> np.ndarray:
     """Agglomerative min-MSE merging of the block graph (host) — the
     exact PEAC AHC semantics (AHCPlaneFitter.hpp:939 ahCluster).
@@ -246,9 +280,12 @@ def merge_blocks(
 
 def merge_blocks_py(
     stats: dict, grid_shape: tuple[int, int], min_support: int,
-    angle_cos: float = 0.93,
+    angle_cos: float | None = None,
 ) -> np.ndarray:
-    """Pure-Python exact AHC merge (see merge_blocks)."""
+    """Pure-Python exact AHC merge (see merge_blocks).
+
+    angle_cos=None uses the dynamic T_ang(INIT, z) normal gate per edge
+    (AHCParamSet.hpp:100-128); a float forces a fixed gate."""
     bh, bw = grid_shape
     B = bh * bw
     valid = np.asarray(stats["valid"])
@@ -257,6 +294,12 @@ def merge_blocks_py(
     s2 = np.asarray(stats["s2"]).astype(np.float64)
     normal = np.asarray(stats["normal"]).astype(np.float64)
     mean = np.asarray(stats["mean"]).astype(np.float64)
+
+    def cos_th(i, j):
+        if angle_cos is not None:
+            return angle_cos
+        zbar = 0.5 * (mean[i][2] + mean[j][2])
+        return float(t_ang_cos(zbar, xp=np))
 
     parent = np.arange(B)
 
@@ -275,7 +318,7 @@ def merge_blocks_py(
         for j in (i + 1 if x + 1 < bw else -1, i + bw if y + 1 < bh else -1):
             if j < 0 or not valid[j]:
                 continue
-            if normal[i] @ normal[j] < angle_cos:
+            if normal[i] @ normal[j] < cos_th(i, j):
                 continue
             nm = n[i] + n[j]
             _, _, mse = _seg_plane(nm, s1[i] + s1[j], s2[i] + s2[j])
@@ -314,7 +357,7 @@ def merge_blocks_py(
             rn = find(nb)
             if rn == ra:
                 continue
-            if normal[ra] @ normal[rn] < angle_cos:
+            if normal[ra] @ normal[rn] < cos_th(ra, rn):
                 continue
             ntot = n[ra] + n[rn]
             _, _, m = _seg_plane(ntot, s1[ra] + s1[rn], s2[ra] + s2[rn])
@@ -376,7 +419,19 @@ def unpack_stats(packed: np.ndarray) -> dict:
     }
 
 
-@partial(jax.jit, static_argnames=("max_planes", "max_points", "block"))
+def _shift_bool3(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Zero-padded (non-wrapping) spatial shift of a (P, h, w) tensor
+    (P leading: h/w stay on the sublane/lane dims — a trailing P=8 axis
+    would waste 15/16 of each 128-lane register)."""
+    _, h, w = a.shape
+    pad = jnp.pad(
+        a, ((0, 0), (1, 1), (1, 1)), constant_values=False
+    )
+    return pad[:, 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+
+@partial(jax.jit, static_argnames=("max_planes", "max_points", "block",
+                                   "refine_iters"))
 def plane_stage2(
     pts: jnp.ndarray,
     block_plane: jnp.ndarray,  # (bh, bw) int32 in [-1, P)
@@ -384,11 +439,20 @@ def plane_stage2(
     max_planes: int,
     max_points: int,
     block: int = BLOCK,
+    refine_iters: int = 20,
 ):
-    """Device stage 2: pixel membership, refit, refinement, cloud selection.
+    """Device stage 2: pixel membership with PEAC-style refinement, refit,
+    cloud selection.
+
+    The refinement mirrors refineDetails (AHCPlaneFitter.hpp:294-520) in
+    a device-parallel form: segment-BOUNDARY blocks release their pixels
+    (block-level erosion = findBlockMembership's rfQueue seeding), then an
+    iterated masked dilation re-claims them — a pixel joins the
+    neighboring plane with minimum point-plane distance, gated by the
+    plane's own 3-sigma band (dist^2 < 9*mse, floodFill :446-449).
 
     Returns (membership (h,w) int32, packed_planes (P, 8), clouds (P,M,3)):
-    packed_planes = [coeffs(4), n_support, valid, inlier_frac, pad].
+    packed_planes = [coeffs(4), n_support, valid, inlier_frac, n_pts].
     """
     h, w, _ = pts.shape
     bh, bw = block_plane.shape
@@ -412,23 +476,76 @@ def plane_stage2(
         nn = n.clip(1.0)
         mean = s1 / nn[:, None]
         cov = s2 / nn[:, None, None] - mean[:, None, :] * mean[:, :, None]
-        _, nrm = eig33.eig33_smallest(cov)
+        mse, nrm = eig33.eig33_smallest(cov)
         flip = jnp.sum(nrm * mean, -1) > 0
         nrm = jnp.where(flip[:, None], -nrm, nrm)
         d = -jnp.sum(nrm * mean, -1)
-        return nrm, d, n
+        return nrm, d, n, jnp.clip(mse, 0.0)
 
-    nrm, d, n0 = fit(lab_full)
-    # refinement: drop pixels off their plane, then refit
-    safe_lab = jnp.maximum(lab_full, 0)
-    pix_dist = jnp.abs(
-        jnp.sum(pts * nrm[safe_lab], -1) + d[safe_lab]
+    # --- block-level erosion: interior blocks keep their pixels; pixels
+    # of boundary blocks (any 4-neighbor with a different label) are
+    # released for the flood fill.  Out-of-grid neighbors count as same.
+    def bshift(a, dy, dx, fill):
+        return jnp.pad(a, 1, constant_values=fill)[
+            1 + dy : 1 + dy + bh, 1 + dx : 1 + dx + bw
+        ]
+
+    interior_b = block_plane >= 0
+    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        nb = bshift(block_plane, dy, dx, -2)
+        interior_b = interior_b & ((nb == block_plane) | (nb == -2))
+    interior_img_s = jnp.repeat(jnp.repeat(interior_b, block, 0), block, 1)
+    interior_img = jnp.zeros((h, w), bool)
+    interior_img = interior_img.at[: bh * block, : bw * block].set(
+        interior_img_s[: min(bh * block, h), : min(bw * block, w)]
     )
-    lab_ref = jnp.where((lab_full >= 0) & (pix_dist < dist_th), lab_full, -1)
-    nrm, d, n_ref = fit(lab_ref)
-    pix_dist2 = jnp.abs(jnp.sum(pts * nrm[jnp.maximum(lab_ref, 0)], -1) + d[jnp.maximum(lab_ref, 0)])
-    lab_ref = jnp.where((lab_ref >= 0) & (pix_dist2 < dist_th * 1.5), lab_ref, -1)
+    seed_lab = jnp.where(interior_img & finite, lab_full, -1)
 
+    # plane hypotheses from the eroded cores
+    nrm, d, n_seed, mse = fit(seed_lab)
+    # 3-sigma membership band per plane (floodFill's
+    # dist^2 < 9*mse + 1e-5 gate); (P, h, w) layout keeps h/w on the
+    # sublane/lane dims
+    dist_all = jnp.abs(
+        jnp.einsum("hwi,pi->phw", pts, nrm) + d[:, None, None]
+    )  # (P, h, w)
+    gate = (dist_all * dist_all) < (9.0 * mse + 1e-5)[:, None, None]
+    gate = gate & finite[None]
+
+    # iterated masked dilation from the seed cores through released pixels
+    claimable = finite & ~interior_img
+    reach0 = (
+        seed_lab[None] == jnp.arange(P, dtype=jnp.int32)[:, None, None]
+    )
+
+    def grow(_, reach):
+        nb = (
+            _shift_bool3(reach, 1, 0)
+            | _shift_bool3(reach, -1, 0)
+            | _shift_bool3(reach, 0, 1)
+            | _shift_bool3(reach, 0, -1)
+        )
+        return reach | (nb & gate & claimable[None])
+
+    reach = jax.lax.fori_loop(0, refine_iters, grow, reach0)
+    # min-distance tie-break among reached planes (floodFill distMap)
+    dist_sel = jnp.where(reach, dist_all, jnp.inf)
+    best = jnp.argmin(dist_sel, 0).astype(jnp.int32)
+    has = jnp.isfinite(jnp.min(dist_sel, 0))
+    lab_ref = jnp.where(has, best, -1)
+    lab_ref = jnp.where(interior_img, seed_lab, lab_ref)
+
+    # final refit + distance re-gate (Frame::MaxPointDistanceFromPlane's
+    # mfDisTh applies to the exported membership/cloud)
+    nrm, d, n_ref, _ = fit(lab_ref)
+    safe = jnp.maximum(lab_ref, 0)
+    pix_dist = jnp.abs(jnp.sum(pts * nrm[safe], -1) + d[safe])
+    lab_ref = jnp.where((lab_ref >= 0) & (pix_dist < dist_th * 1.5), lab_ref, -1)
+
+    n0 = jnp.sum(
+        lab_full[..., None] == jnp.arange(P, dtype=jnp.int32)[None, None, :],
+        axis=(0, 1),
+    ).astype(jnp.float32)
     inlier_frac = n_ref / n0.clip(1.0)
     valid = (n_ref > 0) & (inlier_frac > 0.6)
 
@@ -437,22 +554,36 @@ def plane_stage2(
     flip = coeffs[:, 3:4] < 0
     coeffs = jnp.where(flip, -coeffs, coeffs)
 
-    # cloud selection: pseudo-random spread of member pixels, top max_points
-    idx_flat = jnp.arange(h * w, dtype=jnp.uint32)
-    prio = (idx_flat * jnp.uint32(2654435761)) >> jnp.uint32(8)  # hash order
+    # cloud selection: hash-priority bucket argmax — a spread sample of
+    # member pixels without the per-plane top_k sorts over the full image
+    # (those cost ~0.6 ms); a small top_k over the n_bkt bucket winners
+    # compacts real members to the front (consumers slice cloud[:n_pts])
+    HW = h * w
+    n_bkt = max_points
+    bkt = -(-HW // n_bkt)
+    idx_flat = jnp.arange(HW, dtype=jnp.int32)
+    # Knuth multiplicative hash constant (2654435761 as wrapped int32)
+    prio = (idx_flat * jnp.int32(-1640531535)) >> jnp.int32(8)
+    prio = jnp.abs(prio) | jnp.int32(1)
     lab_flat = lab_ref.ravel()
-    clouds = []
-    counts = []
-    for p_ in range(P):
-        mask = lab_flat == p_
-        pr = jnp.where(mask, prio, jnp.uint32(0))
-        topv, topi = jax.lax.top_k(pr, max_points)
-        pts_sel = pts.reshape(-1, 3)[topi]
-        ok = topv > 0
-        clouds.append(jnp.where(ok[:, None], pts_sel, 0.0))
-        counts.append(jnp.sum(mask))
-    clouds = jnp.stack(clouds)  # (P, M, 3)
-    n_pts = jnp.minimum(jnp.stack(counts), max_points)
+    pr_all = jnp.where(
+        lab_flat[None, :] == jnp.arange(P, dtype=jnp.int32)[:, None],
+        prio[None, :], jnp.int32(0),
+    )  # (P, HW)
+    pad = n_bkt * bkt - HW
+    pr_all = jnp.pad(pr_all, ((0, 0), (0, pad))).reshape(P, n_bkt, bkt)
+    arg = jnp.argmax(pr_all, axis=-1)  # (P, n_bkt)
+    val = jnp.max(pr_all, axis=-1)
+    sel = jnp.minimum(
+        arg + jnp.arange(n_bkt, dtype=jnp.int32)[None, :] * bkt, HW - 1
+    )
+    ordv, ord_bkt = jax.lax.top_k(val, n_bkt)  # compact winners first
+    sel = jnp.take_along_axis(sel, ord_bkt, axis=1)
+    pts_flat = pts.reshape(-1, 3)
+    clouds = jnp.where(
+        (ordv > 0)[..., None], pts_flat[sel], 0.0
+    )  # (P, M, 3)
+    n_pts = jnp.sum(val > 0, axis=1)
 
     packed = jnp.concatenate(
         [

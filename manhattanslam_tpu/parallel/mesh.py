@@ -90,14 +90,16 @@ def build_batched_track_step(cfg: SlamConfig, mesh: Mesh):
     return step
 
 
-def build_throughput_step(cfg: SlamConfig, batch: int):
+def build_throughput_step(cfg: SlamConfig, batch: int, use_pallas=None):
     """Batched multi-sequence replay of the FULL fused tracking step
     (BASELINE config 5): vmap over `batch` independent sequence streams,
     sharing one map view (localization/replay mode).
 
     The per-frame device program is op-count-bound, not FLOP-bound, so
     batching B sequences costs nearly the same wall time as one — the
-    throughput win is ~B-fold.
+    throughput win is ~B-fold.  The Pallas extractor kernels batch via
+    their custom_vmap rules (grid over batch x keypoint-block), so the
+    batched path shares the fast kernels with the single-stream step.
 
     Returns step(packed (B,H,3W) uint8 — see device_tracker.pack_frame,
     carry (batched), view (shared)) -> (batched result summary, batched
@@ -105,7 +107,7 @@ def build_throughput_step(cfg: SlamConfig, batch: int):
     """
     from manhattanslam_tpu.frontend import device_tracker as dt
 
-    inner = dt.build_frame_body(cfg, use_pallas=False)  # pallas cannot vmap
+    inner = dt.build_frame_body(cfg, use_pallas=use_pallas)
     w = cfg.camera.width
 
     def one(packed, carry, view):

@@ -183,5 +183,11 @@ class Relocalizer:
                     if n_in >= 50:
                         break
             if n_in >= 50 or (n_in >= 20 and n_in >= 0.5 * int(ok_np.sum())):
+                # remember the matched keyframe: the caller re-anchors its
+                # reference keyframe here (the reference's post-reloc
+                # TrackReferenceKeyFrame works against this KF)
+                self.last_kf = kf
                 return np.asarray(T_best)
         return None
+
+    last_kf: int = -1

@@ -88,7 +88,12 @@ class SlamMap:
         # spanning tree parent (KeyFrame mTcp chain for trajectory replay)
         self.kf_parent = np.full(KF, -1, np.int32)
 
-        self.n_kf = 0
+        self.n_kf = 0  # high-water mark of allocated keyframe slots
+        self.kf_free: list[int] = []  # retired slots available for reuse
+        self.last_kf_added = -1  # spanning-tree parent for the next KF
+        # observers notified before a keyframe slot is retired (trajectory
+        # re-anchoring, System.cc:221-224 replay semantics)
+        self.kf_retire_callbacks: list = []
         self.next_mp = 0
         self.next_ml = 0
         self.next_pl = 0
@@ -228,10 +233,17 @@ class SlamMap:
     def add_keyframe(
         self, T_cw: np.ndarray, timestamp: float, frame_id: int, feats_np: dict
     ) -> int:
-        if self.n_kf >= self.cfg.caps.max_keyframes:
+        """Allocate a keyframe slot: retired (culled) slots are reused
+        before the high-water mark grows, so long sequences with keyframe
+        culling never exhaust the bank (the slot's prior trajectory
+        references were re-anchored by retire_keyframe)."""
+        if self.kf_free:
+            i = self.kf_free.pop(0)
+        elif self.n_kf < self.cfg.caps.max_keyframes:
+            i = self.n_kf
+            self.n_kf += 1
+        else:
             raise RuntimeError("keyframe capacity exhausted")
-        i = self.n_kf
-        self.n_kf += 1
         self.kf_valid[i] = True
         self.kf_pose[i] = T_cw
         self.kf_time[i] = timestamp
@@ -243,8 +255,39 @@ class SlamMap:
         self.kf_angle[i] = feats_np["angle"]
         self.kf_desc[i] = feats_np["desc"]
         self.kf_kp_valid[i] = feats_np["valid"]
-        self.kf_parent[i] = i - 1 if i > 0 else -1
+        # reset any state left by a previous occupant of a reused slot
+        self.kf_mp_idx[i] = -1
+        self.kf_ml_idx[i] = -1
+        self.kf_pl_idx[i] = -1
+        self.kf_plane_coeffs[i] = 0
+        self.kf_plane_npts[i] = 0
+        self.covis[i, :] = 0
+        self.covis[:, i] = 0
+        self.kf_parent[i] = self.last_kf_added
+        self.last_kf_added = i
         return i
+
+    def retire_keyframe(self, kf: int) -> None:
+        """KeyFrame::SetBadFlag: spanning-tree children reattach to the
+        parent, covisibility clears, observers re-anchor trajectory
+        records onto the parent (the eager form of the reference's
+        replay-time bad-ref chain, System.cc:221-224), and the slot
+        becomes reusable by add_keyframe."""
+        parent = int(self.kf_parent[kf])
+        for cb in self.kf_retire_callbacks:
+            cb(kf, parent)
+        self.kf_valid[kf] = False
+        self.kf_mp_idx[kf] = -1
+        self.kf_ml_idx[kf] = -1
+        self.kf_pl_idx[kf] = -1
+        self.kf_plane_coeffs[kf] = 0
+        self.kf_plane_npts[kf] = 0
+        self.covis[kf, :] = 0
+        self.covis[:, kf] = 0
+        self.kf_parent[self.kf_parent == kf] = parent
+        if self.last_kf_added == kf:
+            self.last_kf_added = parent
+        self.kf_free.append(kf)
 
     def set_kf_matches(self, kf_id: int, mp_idx: np.ndarray) -> None:
         """Record kp -> map-point association and refresh covisibility."""

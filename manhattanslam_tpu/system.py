@@ -237,4 +237,5 @@ class System:
             self.surfel_mapper.insert_keyframe(
                 kf_id, gray, depth,
                 self.tracker.plane_module, plane_membership=membership,
+                ref_kf=getattr(self.tracker, "prev_ref_kf", None),
             )

@@ -107,6 +107,16 @@ static double mse_threshold(double z) {
   return sigma * sigma;
 }
 
+// cos of the dynamic normal-deviation threshold T_ang(INIT, z)
+// (reference AHCParamSet.hpp:100-128, meters): 15 deg @ 0.5 m -> 90 deg @ 4 m
+static double t_ang_cos(double z) {
+  const double z_near = 0.5, z_far = 4.0;
+  const double a_near = 15.0 * M_PI / 180.0, a_far = 90.0 * M_PI / 180.0;
+  double zc = z < z_near ? z_near : (z > z_far ? z_far : z);
+  const double ang = a_near + (a_far - a_near) * (zc - z_near) / (z_far - z_near);
+  return std::cos(ang);
+}
+
 struct HeapItem {
   double mse;
   int a, b;
@@ -155,12 +165,17 @@ int ahc_merge(int bh, int bw, const double* n, const double* s1,
       if (y + 1 < bh && segs[i + bw].valid) add_edge(i, i + bw);
     }
 
+  // angle_cos < 0: dynamic T_ang(INIT, z) per pair (PEAC model); else fixed
+  auto pair_cos_th = [&](int ra, int rb) {
+    if (angle_cos >= 0.0) return angle_cos;
+    return t_ang_cos(0.5 * (segs[ra].mean[2] + segs[rb].mean[2]));
+  };
   std::priority_queue<HeapItem, std::vector<HeapItem>, std::greater<HeapItem>> heap;
   auto push_candidate = [&](int ra, int rb) {
     const Seg &A = segs[ra], &Bs = segs[rb];
     double dot = A.normal[0] * Bs.normal[0] + A.normal[1] * Bs.normal[1] +
                  A.normal[2] * Bs.normal[2];
-    if (dot < angle_cos) return;
+    if (dot < pair_cos_th(ra, rb)) return;
     Seg m;
     m.n = A.n + Bs.n;
     for (int k = 0; k < 3; k++) m.s1[k] = A.s1[k] + Bs.s1[k];
@@ -190,7 +205,7 @@ int ahc_merge(int bh, int bw, const double* n, const double* s1,
     double dot = segs[ra].normal[0] * segs[rb].normal[0] +
                  segs[ra].normal[1] * segs[rb].normal[1] +
                  segs[ra].normal[2] * segs[rb].normal[2];
-    if (dot < angle_cos) continue;
+    if (dot < pair_cos_th(ra, rb)) continue;
     // merge rb -> ra
     parent[rb] = ra;
     segs[ra].n = m.n;

@@ -120,3 +120,77 @@ def test_chunked_pipelined_bench_config(small_cfg):
     assert len(recs) == len(seq)
     assert sum(not r.lost for r in recs) >= len(seq) - 1
     assert sys.map.n_kf >= 1
+
+
+def test_chunked_midchunk_loss_recovery(small_cfg):
+    """A mid-chunk tracking loss followed by a successful relocalization
+    must re-run the remaining frames of the chunk with the reset carry:
+    recovery costs one frame (the lost one), and the frames after it are
+    recorded from post-reloc tracking, not from the stale pre-reloc scan
+    (the reference relocalizes per frame, Tracking.cc:410)."""
+    import jax.numpy as jnp
+
+    from manhattanslam_tpu.geometry import se3
+
+    seq = SyntheticSequence(n_frames=13, cam=small_cfg.camera, view="corner")
+    sys = System(small_cfg, fast=True, enable_surfels=False,
+                 enable_planes=False, enable_lines=False, chunk=4)
+    for i in range(9):  # 1 init + 2 chunks
+        t, gray, depth = seq.frame(i)
+        sys.track(gray, depth, t)
+    tr = sys.tracker
+    m = sys.map
+    assert tr.reloc_module is not None
+
+    # avoid the <=5-keyframe auto reset (Tracking.cc:517-523)
+    while m.n_kf <= 5:
+        feats0 = {
+            "xy_und": m.kf_xy[0], "u_right": m.kf_uright[0],
+            "depth": m.kf_depth[0], "level": m.kf_level[0],
+            "angle": m.kf_angle[0], "desc": m.kf_desc[0],
+            "valid": m.kf_kp_valid[0],
+        }
+        kf = m.add_keyframe(m.kf_pose[0], 0.01 * m.n_kf, 0, feats0)
+        m.set_kf_matches(kf, m.kf_mp_idx[0])
+        tr.reloc_module.add_keyframe(kf)
+
+    # "teleport": the reference keyframe the device fallback searches no
+    # longer overlaps the view (zeroed ref banks), so on-device tracking
+    # must fail and the reloc module (which searches ALL keyframes) must
+    # recover the pose
+    tr.view = dict(tr.view)
+    tr.view["ref_mp"] = jnp.full_like(tr.view["ref_mp"], -1)
+    if tr._shadow is not None:
+        tr._shadow["ref_mp"] = np.full_like(tr._shadow["ref_mp"], -1)
+
+    rng = np.random.default_rng(0)
+    noise_g = rng.uniform(0, 255, seq.frame(0)[1].shape).astype(np.float32)
+    noise_d = rng.uniform(0.5, 6.0, seq.frame(0)[2].shape).astype(np.float32)
+
+    n_before = len(tr.records)
+    # chunk = [noise (forced loss), then three mapped viewpoints]
+    frames = [(100.0, noise_g, noise_d)]
+    for i in (1, 2, 3):
+        t, gray, depth = seq.frame(i)
+        frames.append((100.0 + 0.1 * i, gray, depth))
+    for t, gray, depth in frames:
+        sys.track(gray, depth, t)
+    sys.shutdown()
+
+    recs = tr.records[n_before:]
+    assert len(recs) == 4
+    assert recs[0].lost  # the noise frame
+    # every frame after the loss is recorded as tracked (replayed with the
+    # post-reloc carry), i.e. recovery latency is exactly the lost frame
+    assert all(not r.lost for r in recs[1:]), [r.lost for r in recs]
+    # and the recovered poses are correct, not stale-garbage: compare the
+    # recorded camera centers against ground truth (tracker world =
+    # camera-0 frame; seq.poses are camera-to-world in room coords)
+    rows = tr.trajectory_rows()
+    # trajectory_rows skips lost records; the noise frame drops out, so
+    # the last 3 rows are the recovered frames
+    rows = rows[-3:]
+    T0_inv = np.linalg.inv(seq.poses[0])
+    for (ts, t_wc, q), i in zip(rows, (1, 2, 3)):
+        c_gt = (T0_inv @ seq.poses[i])[:3, 3]
+        assert np.linalg.norm(t_wc - c_gt) < 0.08, (i, t_wc, c_gt)

@@ -266,3 +266,95 @@ def test_observe_line_orientation_invariance(small_cfg):
     assert np.linalg.norm(m.ml_ep[0] - m.ml_sp[0]) >= 0.99
     d = (m.ml_ep[0] - m.ml_sp[0]) / np.linalg.norm(m.ml_ep[0] - m.ml_sp[0])
     assert d @ np.float32([0, 1, 0]) > 0.999
+
+
+def test_keyframe_slot_reuse_and_record_reanchor(small_cfg):
+    """Retired keyframe slots are reused by add_keyframe, and trajectory
+    records referencing the retired KF re-anchor onto its spanning-tree
+    parent with an UNCHANGED recovered trajectory (the eager form of the
+    reference's bad-ref replay chain, System.cc:221-224)."""
+    from manhattanslam_tpu.frontend.tracking import FrameRecord, Tracker
+
+    m = SlamMap(small_cfg)
+    tr = Tracker(small_cfg, m)
+    f = _feats0(small_cfg)
+    k0 = m.add_keyframe(_pose([0, 0, 0]), 0.0, 0, f)
+    k1 = m.add_keyframe(_pose([1, 0, 0]), 1.0, 1, f)
+    k2 = m.add_keyframe(_pose([2, 0, 0]), 2.0, 2, f)
+    assert (k0, k1, k2) == (0, 1, 2)
+    assert m.kf_parent[k2] == k1 and m.kf_parent[k1] == k0
+
+    # a record anchored at k1
+    T_cw = _pose([1.5, 0.2, 0.0])
+    T_cr = (T_cw @ np.linalg.inv(m.kf_pose[k1])).astype(np.float32)
+    tr.records.append(FrameRecord(1.5, k1, T_cr, False))
+    rows_before = tr.trajectory_rows()
+
+    m.retire_keyframe(k1)
+    assert not m.kf_valid[k1]
+    assert m.kf_parent[k2] == k0  # spanning-tree reattach
+    assert tr.records[0].ref_kf == k0  # record re-anchored
+
+    rows_after = tr.trajectory_rows()
+    np.testing.assert_allclose(
+        rows_before[0][1], rows_after[0][1], atol=1e-5
+    )
+
+    # the slot is reused by the next keyframe
+    k3 = m.add_keyframe(_pose([3, 0, 0]), 3.0, 3, f)
+    assert k3 == k1
+    assert m.kf_valid[k3]
+    assert m.kf_parent[k3] == k2  # parent = most recently added valid KF
+
+
+def test_keyframe_bank_never_exhausts_with_culling(small_cfg):
+    """Long-sequence lifecycle: with retire+reuse, far more keyframes than
+    max_keyframes can be added without exhausting the bank."""
+    m = SlamMap(small_cfg)
+    f = _feats0(small_cfg)
+    cap = small_cfg.caps.max_keyframes
+    ids = []
+    for i in range(3 * cap):
+        k = m.add_keyframe(_pose([i * 0.1, 0, 0]), float(i), i, f)
+        ids.append(k)
+        if i >= 2:
+            # retire the middle of the last three (keyframe culling shape)
+            m.retire_keyframe(ids[-2])
+    assert m.n_kf <= cap
+    assert int(m.kf_valid.sum()) <= cap
+
+
+def test_surfel_window_reactivates_on_revisit(small_cfg):
+    """Reference-pose surfel links (SurfelMapping.cpp:162-168): a keyframe
+    whose reference is an OLD pose pulls the old region back into the BFS
+    drift-free window, reactivating its surfels — a chronological chain
+    (kf-1 links) cannot do this."""
+    from manhattanslam_tpu.mapping.surfel_mapping import (
+        DRIFT_FREE_POSES, SurfelMapper,
+    )
+
+    m = SlamMap(small_cfg)
+    sm = SurfelMapper(small_cfg, m)
+    f = _feats0(small_cfg)
+    H, W = 48, 64
+    gray = np.full((H, W), 128.0, np.float32)
+    depth = np.full((H, W), 2.0, np.float32)
+    n = DRIFT_FREE_POSES + 5
+    for i in range(n):
+        k = m.add_keyframe(_pose([i * 0.3, 0, 0]), float(i), i, f)
+        sm.insert_keyframe(k, gray, depth, ref_kf=(k - 1 if k else None))
+    # chronological window: pose 0 has slid out
+    assert 0 not in sm._bfs_window(n - 1)
+
+    # revisit: new keyframe whose REFERENCE is pose 0 (post-reloc shape)
+    k = m.add_keyframe(_pose([0.1, 0, 0]), float(n), n, f)
+    sm.insert_keyframe(k, gray, depth, ref_kf=0)
+    win = sm._bfs_window(k)
+    assert 0 in win and 1 in win  # old region reactivated
+    # surfels attached to pose 0 are active again
+    attach = np.asarray(sm.surfels["attach_kf"])
+    valid = np.asarray(sm.surfels["valid"])
+    active = np.asarray(sm.surfels["active"])
+    sel = valid & (attach == 0)
+    assert sel.any()
+    assert active[sel].all()

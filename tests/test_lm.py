@@ -11,9 +11,11 @@ BF = 30.0
 
 
 def make_problem(rng, n_mono=60, n_st=60, outlier_frac=0.0, T_gt=None, planes=0):
+    """Mono rows occupy [0, n_mono); stereo rows [n_mono, n_mono + n_st)
+    of the fused point family (pt_stereo flags the split)."""
     if T_gt is None:
         T_gt = np.eye(4, dtype=np.float32)
-    prob = lm.empty_problem(nm=128, ns=128, nl=16, np_=8, npar=8, nver=8)
+    prob = lm.empty_problem(npt=256, nl=16, np_=8, npar=8, nver=8)
 
     def project(pw):
         pc = pw @ np.asarray(T_gt)[:3, :3].T + np.asarray(T_gt)[:3, 3]
@@ -23,24 +25,28 @@ def make_problem(rng, n_mono=60, n_st=60, outlier_frac=0.0, T_gt=None, planes=0)
 
     pts = rng.uniform([-2, -1.5, 2.0], [2, 1.5, 6.0], (n_mono, 3)).astype(np.float32)
     u, v, z = project(pts)
-    obs = np.stack([u, v], -1)
+    obs = np.stack([u, v, np.zeros_like(u)], -1)
     n_out = int(outlier_frac * n_mono)
     if n_out:
-        obs[:n_out] += rng.uniform(20, 80, (n_out, 2)) * rng.choice([-1, 1], (n_out, 2))
+        obs[:n_out, :2] += rng.uniform(20, 80, (n_out, 2)) * rng.choice(
+            [-1, 1], (n_out, 2)
+        )
     prob = prob._replace(
-        mono_xw=prob.mono_xw.at[:n_mono].set(pts),
-        mono_obs=prob.mono_obs.at[:n_mono].set(obs),
-        mono_info=prob.mono_info.at[:n_mono].set(1.0),
-        mono_mask=prob.mono_mask.at[:n_mono].set(True),
+        pt_xw=prob.pt_xw.at[:n_mono].set(pts),
+        pt_obs=prob.pt_obs.at[:n_mono].set(obs),
+        pt_info=prob.pt_info.at[:n_mono].set(1.0),
+        pt_mask=prob.pt_mask.at[:n_mono].set(True),
     )
     pts2 = rng.uniform([-2, -1.5, 2.0], [2, 1.5, 6.0], (n_st, 3)).astype(np.float32)
     u2, v2, z2 = project(pts2)
     obs2 = np.stack([u2, v2, u2 - BF / z2], -1)
+    sl = slice(n_mono, n_mono + n_st)
     prob = prob._replace(
-        st_xw=prob.st_xw.at[:n_st].set(pts2),
-        st_obs=prob.st_obs.at[:n_st].set(obs2),
-        st_info=prob.st_info.at[:n_st].set(1.0),
-        st_mask=prob.st_mask.at[:n_st].set(True),
+        pt_xw=prob.pt_xw.at[sl].set(pts2),
+        pt_obs=prob.pt_obs.at[sl].set(obs2),
+        pt_info=prob.pt_info.at[sl].set(1.0),
+        pt_stereo=prob.pt_stereo.at[sl].set(True),
+        pt_mask=prob.pt_mask.at[sl].set(True),
     )
     if planes:
         # axis-aligned planes observed in the T_gt camera frame
@@ -182,19 +188,17 @@ def test_analytic_matches_ad_jacobians(rng):
                 return Tm.at[:3, 3].add(xi)
             return se3.exp_se3(xi) @ Tm
 
-        Jm, Js, Jl = lm._point_jacobians(
+        Jp, Jl = lm._point_jacobians(
             T, prob, K, jnp.float32(BF), translation_only
         )
 
         def flat_pts(xi):
             rs = lm._residuals(retract(T, xi), prob, K, jnp.float32(BF))
-            return jnp.concatenate(
-                [rs[0].ravel(), rs[1].ravel(), rs[2].ravel()]
-            )
+            return jnp.concatenate([rs[0].ravel(), rs[1].ravel()])
 
         J_ad = jax.jacfwd(flat_pts)(jnp.zeros((dof,), jnp.float32))
         J_an = jnp.concatenate(
-            [Jm.reshape(-1, dof), Js.reshape(-1, dof), Jl.reshape(-1, dof)]
+            [Jp.reshape(-1, dof), Jl.reshape(-1, dof)]
         )
         np.testing.assert_allclose(
             np.asarray(J_an), np.asarray(J_ad), atol=2e-4, rtol=1e-4

@@ -153,3 +153,67 @@ def test_ic_angle_pallas_matches_prefix_sum(rng):
         d = np.abs(out - ref)
         d = np.minimum(d, 2 * np.pi - d)
         assert d.max() < 1e-3, d.max()
+
+
+def test_brief_pallas_batched_vmap_matches_single(rng):
+    """The custom_vmap rule (batch-gridded kernel) must equal per-image
+    single-kernel calls bit-for-bit (interpret mode on CPU)."""
+    import jax
+
+    from manhattanslam_tpu.ops.orb_pallas import brief_descriptors_pallas
+
+    B, h, w = 3, 120, 320
+    imgs = jnp.asarray(rng.uniform(0, 255, (B, h, w)).astype(np.float32))
+    n = 21
+    b = orb.EDGE_THRESHOLD
+    xy = jnp.asarray(
+        np.stack(
+            [rng.uniform(b, w - b - 1, (B, n)), rng.uniform(b, h - b - 1, (B, n))],
+            -1,
+        ).astype(np.float32)
+    )
+    angle = jnp.asarray(rng.uniform(-np.pi, np.pi, (B, n)).astype(np.float32))
+    out_b = jax.vmap(
+        lambda im, p, a: brief_descriptors_pallas(im, p, a, interpret=True)
+    )(imgs, xy, angle)
+    for i in range(B):
+        ref = brief_descriptors_pallas(imgs[i], xy[i], angle[i], interpret=True)
+        np.testing.assert_array_equal(np.asarray(out_b[i]), np.asarray(ref))
+
+
+def test_ic_angle_pallas_batched_vmap_matches_single(rng):
+    import jax
+
+    from manhattanslam_tpu.ops.orb_pallas import ic_angle_pallas
+
+    B, h, w = 2, 120, 320
+    imgs = jnp.asarray(rng.uniform(0, 255, (B, h, w)).astype(np.float32))
+    n = 17
+    b = orb.EDGE_THRESHOLD
+    xy = jnp.asarray(
+        np.stack(
+            [rng.uniform(b, w - b - 1, (B, n)), rng.uniform(b, h - b - 1, (B, n))],
+            -1,
+        ).astype(np.float32)
+    )
+    out_b = jax.vmap(lambda im, p: ic_angle_pallas(im, p, interpret=True))(
+        imgs, xy
+    )
+    for i in range(B):
+        ref = ic_angle_pallas(imgs[i], xy[i], interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out_b[i]), np.asarray(ref), atol=1e-5
+        )
+
+
+def test_fast_pallas_batched_vmap_matches_single(rng):
+    import jax
+
+    from manhattanslam_tpu.ops.fast_pallas import fast_score_map_pallas
+
+    B, h, w = 2, 96, 160
+    imgs = jnp.asarray(rng.uniform(0, 255, (B, h, w)).astype(np.float32))
+    out_b = jax.vmap(lambda im: fast_score_map_pallas(im, interpret=True))(imgs)
+    for i in range(B):
+        ref = fast_score_map_pallas(imgs[i], interpret=True)
+        np.testing.assert_array_equal(np.asarray(out_b[i]), np.asarray(ref))

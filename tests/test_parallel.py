@@ -108,7 +108,9 @@ def test_throughput_step_matches_unbatched(small_cfg):
     for i in range(B):
         gi, di = dt.unpack_frame(jnp.asarray(packed[i]), W)
         ri, _ = jax.jit(body)(gi, di, dt.init_carry(small_cfg), view)
+        # vmap reorders the segment/matmul reductions slightly; sub-mm
+        # pose agreement is the semantic bar
         np.testing.assert_allclose(
-            out_b["T"][i], np.asarray(ri["T"]), atol=1e-4
+            out_b["T"][i], np.asarray(ri["T"]), atol=5e-4
         )
         assert int(out_b["n_inliers"][i]) == int(ri["n_inliers"])
