@@ -123,10 +123,22 @@ def main() -> int:
     chunk = 16
     n_warm = 1 + chunk  # init frame + one full chunk (compiles both paths)
     n_timed = 4 * chunk
-    reps = 3  # best-of-3: the dev host<->TPU tunnel is contention-noisy
+    # median-of-5 timed windows: the dev host<->TPU tunnel is
+    # contention-noisy (27-51 fps day-range on identical code), so the
+    # MEDIAN is the headline and the min/max spread rides along — a
+    # best-of-N on a contended link is a ceiling, not a number
+    reps = 5
     seq = SyntheticSequence(n_frames=n_warm + reps * n_timed,
                             cam=cfg.camera, view="corner")
-    frames = [seq.frame(i) for i in range(len(seq))]
+    # sensor-native dtypes, as the TUM loader hands out (uint8 gray PNGs,
+    # uint16 depth at DepthMapFactor=5000): pack_frame is then a byte
+    # concat instead of ~4 ms/frame of float conversion
+    frames = []
+    for i in range(len(seq)):
+        t, gray, depth = seq.frame(i)
+        g8 = np.clip(np.round(gray), 0, 255).astype(np.uint8)
+        d16 = np.clip(np.round(depth * 5000.0), 0, 65535).astype(np.uint16)
+        frames.append((t, g8, d16))
 
     slam = System(cfg, fast=True, pipeline=True, chunk=chunk,
                   enable_surfels=False)
@@ -136,7 +148,7 @@ def main() -> int:
     slam.tracker.flush()
     n0 = sum(not r.lost for r in slam.tracker.records)
 
-    fps = 0.0
+    fps_reps = []
     for rep in range(reps):
         lo = n_warm + rep * n_timed
         t0 = time.perf_counter()
@@ -145,12 +157,13 @@ def main() -> int:
             slam.track(gray, depth, t)
         slam.tracker.flush()
         dt_s = time.perf_counter() - t0
-        fps = max(fps, n_timed / dt_s)
+        fps_reps.append(n_timed / dt_s)
 
     n_ok = sum(not r.lost for r in slam.tracker.records) - n0
     assert n_ok >= 0.9 * reps * n_timed, (
         f"only {n_ok}/{reps * n_timed} frames tracked"
     )
+    fps = float(np.median(fps_reps))
     print(
         json.dumps(
             {
@@ -158,6 +171,9 @@ def main() -> int:
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / 200.0, 4),
+                "spread_min_max": [
+                    round(min(fps_reps), 2), round(max(fps_reps), 2),
+                ],
             }
         )
     )
