@@ -87,7 +87,13 @@ def _extract_level(
         angle = orb_pallas.ic_angle_pallas(level_img, xy)
     else:
         angle = orb_ops.ic_angle(level_img, xy)
-    blurred = image_ops.gaussian_blur(level_img, 7, 2.0)
+    # integer-rounded blur: the reference blurs a CV_8U image so BRIEF
+    # compares integer intensities (ORBextractor.cc:850-856); rounding
+    # also makes every sampled value exactly bf16-representable, letting
+    # the Pallas one-hot row-select matmul run on the MXU in bf16
+    # (1 pass instead of the 3-pass f32 decomposition) while staying
+    # bit-exact with the jnp gather path
+    blurred = jnp.round(image_ops.gaussian_blur(level_img, 7, 2.0))
     if pallas_ok:
         desc = orb_pallas.brief_descriptors_pallas(blurred, xy, angle)
     else:

@@ -164,13 +164,21 @@ def _detect_lines_impl(
     # the vote grid; an edge pixel supports the line that owns the pixel's
     # own vote bin.  Stronger lines overwrite weaker ones (scatter order).
     ANG_W, RHO_W = 4, 2
-    owner = jnp.full((N_ANGLES * n_rho,), -1, jnp.int32)
-    line_order = jnp.arange(n_lines - 1, -1, -1)  # weakest first
-    for da in range(-ANG_W, ANG_W + 1):
-        for dr in range(-RHO_W, RHO_W + 1):
-            a_i = (top_a[line_order] + da) % N_ANGLES
-            r_i = jnp.clip(top_r[line_order] + dr, 0, n_rho - 1)
-            owner = owner.at[a_i * n_rho + r_i].set(line_order)
+    # one scatter-max instead of 45 serialized scatters: encode strength
+    # priority (strongest line = largest value), scatter all (line,
+    # neighborhood-offset) claims at once, decode back to line index
+    line_idx = jnp.arange(n_lines, dtype=jnp.int32)
+    das = jnp.arange(-ANG_W, ANG_W + 1, dtype=jnp.int32)
+    drs = jnp.arange(-RHO_W, RHO_W + 1, dtype=jnp.int32)
+    a_i = (top_a[:, None, None] + das[None, :, None]) % N_ANGLES
+    r_i = jnp.clip(top_r[:, None, None] + drs[None, None, :], 0, n_rho - 1)
+    bins3 = a_i * n_rho + r_i  # (L, 2*ANG_W+1, 2*RHO_W+1)
+    bins = bins3.ravel()
+    prio = jnp.broadcast_to(
+        (n_lines - line_idx)[:, None, None], bins3.shape
+    ).ravel()
+    prio_grid = jnp.zeros((N_ANGLES * n_rho,), jnp.int32).at[bins].max(prio)
+    owner = jnp.where(prio_grid > 0, n_lines - prio_grid, -1)
     pix_line = jnp.where(edge, owner[flat_bin], -1)  # (h, w)
 
     # per-line moments as ONE one-hot matmul on the MXU: 6 segment

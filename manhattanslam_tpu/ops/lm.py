@@ -577,39 +577,98 @@ def solve_pose(
             Jw = Jp_raw * s[:, None]
             return Jw.T @ Jw, Jw.T @ rw, 0.5 * jnp.sum(rw * rw)
 
-        def lm_iter_an(carry, _):
-            T, lam = carry
-            H, g, prev_cost = point_system(T)
+        def full_system(T):
+            H, g, c = point_system(T)
             if use_planes:
                 Hq, gq, cq = plane_system(T)
-                H, g, prev_cost = H + Hq, g + gq, prev_cost + cq
-            step = -jnp.linalg.solve(H + lam * jnp.eye(dof, dtype=T.dtype), g)
-            T_new = retract(T, step)
-            if gauss_newton:
-                # damped GN: no accept/reject cost evaluation (one residual
-                # pass per iteration).  Fine for the candidate solves whose
-                # job is a rough init + inlier count; the final polish
-                # keeps full LM.
-                ok = jnp.all(jnp.isfinite(step)) & (
-                    jnp.linalg.norm(step) < 1.0
-                )
-                T = jnp.where(ok, T_new, T)
-                return (T, lam), None
-            # accept/reject with weights re-frozen at T_new (IRLS cost)
-            _, _, c_pt = point_system(T_new)
-            new_cost = c_pt
-            if use_planes:
-                _, _, c_pl = plane_system(T_new)
-                new_cost = new_cost + c_pl
-            accept = (new_cost < prev_cost) & jnp.all(jnp.isfinite(step))
-            T = jnp.where(accept, T_new, T)
-            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-            return (T, jnp.clip(lam, 1e-8, 1e6)), None
+                H, g, c = H + Hq, g + gq, c + cq
+            return H, g, c
 
-        (T, _), _ = jax.lax.scan(
-            lm_iter_an if analytic else lm_iter_ad,
-            (T, jnp.float32(1e-3)), None, length=n_iters,
-        )
+        def cost_only(T):
+            """IRLS cost at T without the Jacobian work (used once per
+            round to adjudicate the last unevaluated proposal)."""
+            rs = _residuals(T, prob, K, bf, use_planes=False,
+                            use_lines=use_lines)
+            r_pt, r_ln = rs[0], rs[1]
+            chi_pt = jnp.sum(r_pt**2, -1) * prob.pt_info
+            w_pt = _huber_w(chi_pt, _pt_chi_th(prob), m_pt, huber_on) * jnp.sqrt(
+                prob.pt_info
+            )
+            c = jnp.sum((r_pt * w_pt[:, None]) ** 2)
+            if use_lines:
+                chi_ln = (r_ln[:, 0] ** 2) * prob.ln_info
+                w_ln = _huber_w(chi_ln, CHI2_STEREO, m_ln, huber_on) * jnp.sqrt(
+                    prob.ln_info
+                )
+                c = c + jnp.sum((r_ln * w_ln[:, None]) ** 2)
+            c = 0.5 * c
+            if use_planes:
+                rp_raw = _plane_rows_raw(T, prob, pmasks)
+                s = _plane_row_scales(rp_raw, prob, params, pmasks, huber_on)
+                c = c + 0.5 * jnp.sum((rp_raw * s) ** 2)
+            return c
+
+        def lm_iter_gn(carry, _):
+            # damped GN: no accept/reject cost evaluation (one residual
+            # pass per iteration).  Fine for the candidate solves whose
+            # job is a rough init + inlier count; the final polish
+            # keeps full LM.
+            T, lam = carry
+            H, g, _ = full_system(T)
+            step = -jnp.linalg.solve(H + lam * jnp.eye(dof, dtype=T.dtype), g)
+            ok = jnp.all(jnp.isfinite(step)) & (jnp.linalg.norm(step) < 1.0)
+            T = jnp.where(ok, retract(T, step), T)
+            return (T, lam), None
+
+        def lm_iter_def(carry, _):
+            """Deferred-accept LM: each iteration's ONE system evaluation
+            both adjudicates the previous proposal (cost vs the stored
+            accepted cost) and provides the next linearization.  On
+            rejection the step re-solves from the STORED accepted system
+            with the raised lambda — classic LM retry semantics at half
+            the residual/Jacobian passes of eval-then-reeval."""
+            T, lam, T_acc, H_acc, g_acc, c_acc = carry
+            H, g, c = full_system(T)
+            ok = jnp.isfinite(c) & (c < c_acc)
+            T_w = jnp.where(ok, T, T_acc)
+            H_w = jnp.where(ok, H, H_acc)
+            g_w = jnp.where(ok, g, g_acc)
+            c_w = jnp.where(ok, c, c_acc)
+            lam = jnp.clip(jnp.where(ok, lam * 0.5, lam * 4.0), 1e-8, 1e6)
+            step = -jnp.linalg.solve(
+                H_w + lam * jnp.eye(dof, dtype=T.dtype), g_w
+            )
+            step = jnp.where(
+                jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step)
+            )
+            T_new = retract(T_w, step)
+            return (T_new, lam, T_w, H_w, g_w, c_w), None
+
+        # fully unrolled: n_iters is 4-5 and each iteration is op-count-
+        # bound (tiny 6x6 algebra), so while-loop trip overhead was a
+        # measurable share of the solve; unrolling also lets XLA fuse
+        # across iterations
+        if analytic and gauss_newton:
+            (T, _), _ = jax.lax.scan(
+                lm_iter_gn, (T, jnp.float32(1e-3)), None,
+                length=n_iters, unroll=True,
+            )
+        elif analytic:
+            zH = jnp.zeros((dof, dof), T.dtype)
+            zg = jnp.zeros((dof,), T.dtype)
+            (T_last, _, T_acc, _, _, c_acc), _ = jax.lax.scan(
+                lm_iter_def,
+                (T, jnp.float32(1e-3), T, zH, zg, jnp.float32(jnp.inf)),
+                None, length=n_iters, unroll=True,
+            )
+            # the last proposal left the loop unevaluated: one cost-only
+            # pass decides between it and the best accepted iterate
+            T = jnp.where(cost_only(T_last) < c_acc, T_last, T_acc)
+        else:
+            (T, _), _ = jax.lax.scan(
+                lm_iter_ad, (T, jnp.float32(1e-3)), None,
+                length=n_iters, unroll=True,
+            )
         return T
 
     T = T0

@@ -18,8 +18,13 @@ disc (31x31 pattern rotated), so the aligned 56x256 window around the
 keypoint always contains the clipped sample coordinates (keypoints carry
 a 19 px EDGE_THRESHOLD border, reference ORBextractor.cc:72).
 
-Bit-exact with the jnp path (same clipping, same rounding); verified by
-tests/test_orb_pallas.py.
+Bit-exact with the jnp path (same clipping, same rounding) PROVIDED the
+image is integer-valued (0..255): the one-hot row-select matmul runs in
+bf16 on the MXU (one pass instead of the 3-pass f32 decomposition), which
+is exact for 0/1 one-hots and bf16-representable integer intensities.
+The production caller guarantees this by integer-rounding the Gaussian
+blur (frontend/frame.py), matching the reference's CV_8U blur
+(ORBextractor.cc:850-856).  Verified by tests/test_orb_pallas.py.
 """
 
 from __future__ import annotations
@@ -72,11 +77,19 @@ def _make_brief_kernel(patch_w: int):
             syr = syr_ref[k, :]  # (512,) row index into the patch
             sxr = sxr_ref[k, :]
             rows = jax.lax.broadcasted_iota(jnp.int32, (PATCH_H, 512), 0)
-            oh_r = (rows == syr[None, :]).astype(jnp.float32)  # (56, 512)
+            # bf16 operands: the blurred image is integer-rounded (0..255,
+            # all exactly bf16-representable) and the one-hot is 0/1, so a
+            # bf16 MXU pass with f32 accumulation is bit-exact while
+            # skipping the 3-pass f32 matmul decomposition
+            oh_r = (rows == syr[None, :]).astype(jnp.bfloat16)  # (56, 512)
             # (512, 56) @ (56, patch_w) on the MXU
             tmp = jax.lax.dot_general(
-                oh_r, patch, (((0,), (0,)), ((), ())),
+                oh_r, patch.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # exact for 0/1 x integer operands; DEFAULT overrides the
+                # package-wide "highest" (fp32) which Mosaic rejects on
+                # bf16 operands
+                precision=jax.lax.Precision.DEFAULT,
             )  # (512, patch_w)
             cols = jax.lax.broadcasted_iota(jnp.int32, (512, patch_w), 1)
             oh_c = (cols == sxr[:, None]).astype(jnp.float32)
@@ -128,10 +141,15 @@ def _make_brief_kernel_batched(patch_w: int):
             syr = syr_ref[0, k, :]
             sxr = sxr_ref[0, k, :]
             rows = jax.lax.broadcasted_iota(jnp.int32, (PATCH_H, 512), 0)
-            oh_r = (rows == syr[None, :]).astype(jnp.float32)
+            # bf16 operands (bit-exact: integer-rounded image, 0/1 one-hot)
+            oh_r = (rows == syr[None, :]).astype(jnp.bfloat16)
             tmp = jax.lax.dot_general(
-                oh_r, patch, (((0,), (0,)), ((), ())),
+                oh_r, patch.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # exact for 0/1 x integer operands; DEFAULT overrides the
+                # package-wide "highest" (fp32) which Mosaic rejects on
+                # bf16 operands
+                precision=jax.lax.Precision.DEFAULT,
             )
             cols = jax.lax.broadcasted_iota(jnp.int32, (512, patch_w), 1)
             oh_c = (cols == sxr[:, None]).astype(jnp.float32)

@@ -1,4 +1,9 @@
-"""Bit-exactness of the Pallas BRIEF sampling kernel vs the jnp path."""
+"""Bit-exactness of the Pallas BRIEF sampling kernel vs the jnp path.
+
+Images are integer-valued float32 (0..255): the production path feeds the
+kernel an integer-rounded Gaussian blur (the reference blurs a CV_8U
+image, ORBextractor.cc:850-856), and the kernel's bf16 MXU contraction is
+bit-exact only for bf16-representable integer intensities."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -15,7 +20,7 @@ def rng():
 
 def test_brief_pallas_bit_exact(rng):
     h, w = 120, 320
-    img = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+    img = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.float32))
     n = 37
     b = orb.EDGE_THRESHOLD
     xy = jnp.asarray(
@@ -36,7 +41,7 @@ def test_brief_pallas_bit_exact(rng):
 def test_brief_pallas_border_keypoints(rng):
     """Keypoints at the EDGE_THRESHOLD border still match (clipping path)."""
     h, w = 96, 256
-    img = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+    img = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.float32))
     b = orb.EDGE_THRESHOLD
     xy = jnp.asarray(
         np.float32(
@@ -58,7 +63,7 @@ def test_brief_pallas_border_keypoints(rng):
 def test_brief_pallas_narrow_level(rng):
     """Full-width patch variant for pyramid levels narrower than 256."""
     h, w = 120, 214
-    img = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+    img = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.float32))
     b = orb.EDGE_THRESHOLD
     n = 19
     xy = jnp.asarray(
@@ -97,7 +102,7 @@ def test_brief_pallas_compiled_unaligned_dims(rng):
     # (>=PATCH_W path) and one narrow level (full-width path), both with
     # unaligned h-PATCH_H / w-PATCH_W
     for h, w in ((333, 533), (161, 214)):
-        img = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+        img = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.float32))
         # cluster keypoints along the bottom/right borders where the old
         # clip produced unaligned corners, plus a few interior ones
         edge = np.stack(
@@ -139,7 +144,7 @@ def test_ic_angle_pallas_matches_prefix_sum(rng):
     from manhattanslam_tpu.ops.orb_pallas import ic_angle_pallas
 
     for h, w in ((120, 320), (100, 214)):
-        img = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+        img = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.float32))
         b = orb.EDGE_THRESHOLD
         n = 23
         xy = jnp.asarray(
@@ -163,7 +168,7 @@ def test_brief_pallas_batched_vmap_matches_single(rng):
     from manhattanslam_tpu.ops.orb_pallas import brief_descriptors_pallas
 
     B, h, w = 3, 120, 320
-    imgs = jnp.asarray(rng.uniform(0, 255, (B, h, w)).astype(np.float32))
+    imgs = jnp.asarray(rng.integers(0, 256, (B, h, w)).astype(np.float32))
     n = 21
     b = orb.EDGE_THRESHOLD
     xy = jnp.asarray(
@@ -187,7 +192,7 @@ def test_ic_angle_pallas_batched_vmap_matches_single(rng):
     from manhattanslam_tpu.ops.orb_pallas import ic_angle_pallas
 
     B, h, w = 2, 120, 320
-    imgs = jnp.asarray(rng.uniform(0, 255, (B, h, w)).astype(np.float32))
+    imgs = jnp.asarray(rng.integers(0, 256, (B, h, w)).astype(np.float32))
     n = 17
     b = orb.EDGE_THRESHOLD
     xy = jnp.asarray(
@@ -212,7 +217,7 @@ def test_fast_pallas_batched_vmap_matches_single(rng):
     from manhattanslam_tpu.ops.fast_pallas import fast_score_map_pallas
 
     B, h, w = 2, 96, 160
-    imgs = jnp.asarray(rng.uniform(0, 255, (B, h, w)).astype(np.float32))
+    imgs = jnp.asarray(rng.integers(0, 256, (B, h, w)).astype(np.float32))
     out_b = jax.vmap(lambda im: fast_score_map_pallas(im, interpret=True))(imgs)
     for i in range(B):
         ref = fast_score_map_pallas(imgs[i], interpret=True)
