@@ -31,6 +31,7 @@ import numpy as np
 
 from manhattanslam_tpu.config import SlamConfig
 from manhattanslam_tpu.frontend import tracking_ops
+from manhattanslam_tpu.geometry import se3
 from manhattanslam_tpu.frontend.frame import build_extractor
 from manhattanslam_tpu.ops import lines as line_ops
 from manhattanslam_tpu.ops import lm, matching
@@ -257,11 +258,16 @@ def detect_manhattan_device(
 
     def ortho(a, b, c, fix_det):
         M = jnp.stack([a, b, c], axis=1)
-        det = jnp.linalg.det(M)
+        det = (
+            M[0, 0] * (M[1, 1] * M[2, 2] - M[1, 2] * M[2, 1])
+            - M[0, 1] * (M[1, 0] * M[2, 2] - M[1, 2] * M[2, 0])
+            + M[0, 2] * (M[1, 0] * M[2, 1] - M[1, 1] * M[2, 0])
+        )
         flip = fix_det & (jnp.abs(det + 1.0) < 0.5)
         M = M.at[:, 2].multiply(jnp.where(flip, -1.0, 1.0))
-        U, _, Vt = jnp.linalg.svd(M)
-        return U @ Vt
+        # Newton polar iteration == the SVD's U @ Vt, without the ~0.5 ms
+        # iterative SVD custom call (normals are near-orthogonal here)
+        return se3.polar_rotation(M)
 
     MFc = ortho(c1, c2, c3, ~use_triple)
     MFm = ortho(m1, m2, m3, ~use_triple)
@@ -284,7 +290,7 @@ def associate_planes_device(
     par_th: jnp.ndarray,
 ):
     """PlaneMatcher::SearchMapByCoefficients, vectorized (device)."""
-    T_wc = jnp.linalg.inv(T_cw)
+    T_wc = se3.inverse(T_cw)  # closed-form rigid inverse (no 4x4 LU)
     pi_w = lm.transform_plane_g2o(T_wc, fp_coeffs)  # (P,4)
     ang = jnp.einsum("pi,mi->pm", pi_w[:, :3], view["pl_coeffs"][:, :3])
     # min |pi_w . q| over each map plane's cloud
@@ -451,6 +457,21 @@ def unpack_frame(packed: jnp.ndarray, w: int):
     return gray, depth
 
 
+def to_native(gray: np.ndarray, depth: np.ndarray):
+    """Host-side: coerce a frame to sensor-native (u8 gray, u16 depth in
+    DEPTH_QUANT units) WITHOUT packing.  For TUM-style inputs (uint8 PNG
+    gray, uint16 depth) this is a no-op — zero host byte work; the chunk
+    path uploads the (C,H,W) stacks directly and converts on device."""
+    if gray.dtype != np.uint8:
+        gray = np.clip(np.round(gray), 0, 255).astype(np.uint8)
+    if depth.dtype != np.uint16:
+        depth = np.nan_to_num(depth, nan=0.0, posinf=0.0, neginf=0.0)
+        depth = np.clip(
+            np.round(depth * DEPTH_QUANT), 0, 65535
+        ).astype(np.uint16)
+    return gray, depth
+
+
 # --------------------------------------------------------------- the step
 def build_frame_body(
     cfg: SlamConfig,
@@ -499,7 +520,7 @@ def build_frame_body(
         # against temporal VO points (UpdateLastFrame :1052-1144).  Here the
         # previous frame's keypoints with depth are back-projected with the
         # previous pose and appended to the landmark bank.
-        T_last_wc = jnp.linalg.inv(carry["T_last"])
+        T_last_wc = se3.inverse(carry["T_last"])
         pd = carry["prev_depth"]
         pxy = carry["prev_xy_und"]
         vo_cam = jnp.stack(
@@ -742,7 +763,7 @@ def build_frame_body(
         tracked_close = jnp.sum(close & kp_matched)
         nontracked_close = jnp.sum(close & ~kp_matched)
 
-        new_velocity = T_final @ jnp.linalg.inv(carry["T_last"])
+        new_velocity = T_final @ se3.inverse(carry["T_last"])
         new_carry = {
             "T_last": jnp.where(tracked_ok, T_final, carry["T_last"]),
             "velocity": jnp.where(tracked_ok, new_velocity, carry["velocity"]),
@@ -860,8 +881,13 @@ def build_chunk_step(
     enable_planes: bool = True,
     enable_lines: bool = True,
 ):
-    """Returns jitted chunk(packed (C,H,3W) u8, carry, view) ->
-    (stacked results (C leading axis), final carry).
+    """Returns jitted chunk(gray8 (C,H,W) u8, d16 (C,H,W) u16, carry,
+    view) -> (stacked results (C leading axis), final carry).
+
+    Sensor-native chunk uploads: the host stacks the raw uint8 gray and
+    uint16 depth frames (two memcpys, no byte munging — the planar
+    pack_frame split cost ~2.3 ms/frame of host time on a 1-core host)
+    and the u8/u16 -> f32 conversion happens on device.
 
     lax.scan of the frame body over C frames: ONE upload + ONE dispatch +
     ONE summary pull per chunk instead of per frame, amortizing the
@@ -889,7 +915,7 @@ def build_chunk_step(
     ) + KFX_KEYS + tuple(k for k in PAYLOAD_KEYS if k != "line_assoc")
 
     @jax.jit
-    def chunk(packed, carry, view):
+    def chunk(gray8, d16, carry, view):
         n_map = view["mp_pos"].shape[0]
         n_ml = view["ml_sp"].shape[0]
         stats0 = {
@@ -901,7 +927,9 @@ def build_chunk_step(
 
         def scan_body(cs, frame):
             c, st = cs
-            gray, depth = unpack_frame(frame, w)
+            g8, dd = frame
+            gray = g8.astype(jnp.float32)
+            depth = dd.astype(jnp.float32) * jnp.float32(1.0 / DEPTH_QUANT)
             result, c2 = body(gray, depth, c, view)
             # landmark statistics accumulate on device, gated on
             # tracked_ok (lost frames update nothing, Tracking.cc:420-423)
@@ -926,7 +954,7 @@ def build_chunk_step(
             return (c2, st2), lite
 
         (carry2, stats), results = jax.lax.scan(
-            scan_body, (carry, stats0), packed
+            scan_body, (carry, stats0), (gray8, d16)
         )
         # ONE f32 pull: per-frame cores + uint8-packed count accumulators
         cnt = jnp.concatenate(

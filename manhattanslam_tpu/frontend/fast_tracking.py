@@ -96,18 +96,24 @@ class FastTracker:
     # ------------------------------------------------------------------ API
     def track(self, timestamp: float, gray: np.ndarray, depth: np.ndarray):
         self.frame_id += 1
-        packed = dt.pack_frame(gray, depth)
+        if self.chunk > 1:
+            # sensor-native buffering: no host byte work per frame (the
+            # chunk dispatch uploads the raw u8/u16 stacks)
+            g8, d16 = dt.to_native(gray, depth)
+            if self.state == NOT_INITIALIZED:
+                self._initialize(timestamp, (g8, d16))
+                self._record(timestamp, lost=False)
+                return self.T_cw.copy()
+            self._buf.append((timestamp, self.frame_id, g8, d16, gray, depth))
+            if len(self._buf) < self.chunk:
+                return None
+            return self._dispatch_chunk()
 
+        packed = dt.pack_frame(gray, depth)
         if self.state == NOT_INITIALIZED:
             self._initialize(timestamp, packed)
             self._record(timestamp, lost=False)
             return self.T_cw.copy()
-
-        if self.chunk > 1:
-            self._buf.append((timestamp, self.frame_id, packed, gray, depth))
-            if len(self._buf) < self.chunk:
-                return None
-            return self._dispatch_chunk()
 
         pd = jnp.asarray(packed)  # one upload
         result, new_carry = self.step(pd, self.carry, self.view)
@@ -142,12 +148,11 @@ class FastTracker:
             metas = list(self._buf)
             self._buf = []
             n_real = len(metas)
-            packed = np.stack(
-                [m[2] for m in metas]
-                + [metas[-1][2]] * (self.chunk - n_real)
-            )
+            pad = [metas[-1]] * (self.chunk - n_real)
+            g8s = np.stack([m[2] for m in metas + pad])
+            d16s = np.stack([m[3] for m in metas + pad])
             results, new_carry = self.chunk_step(
-                jnp.asarray(packed), self.carry, self.view
+                jnp.asarray(g8s), jnp.asarray(d16s), self.carry, self.view
             )
             self.carry = new_carry
             self.last_result = results
@@ -159,8 +164,9 @@ class FastTracker:
     def _dispatch_chunk(self):
         metas = self._buf
         self._buf = []
-        packed = jnp.asarray(np.stack([m[2] for m in metas]))
-        results, new_carry = self.chunk_step(packed, self.carry, self.view)
+        g8s = jnp.asarray(np.stack([m[2] for m in metas]))
+        d16s = jnp.asarray(np.stack([m[3] for m in metas]))
+        results, new_carry = self.chunk_step(g8s, d16s, self.carry, self.view)
         self.carry = new_carry
         self.last_result = results
         if self.pipeline:
@@ -185,7 +191,7 @@ class FastTracker:
         m.ml_visible += np.where(m.ml_valid, stats["ml_visible"], 0)
         m.ml_found += np.where(m.ml_valid, stats["ml_found"], 0)
         out = None
-        for i, (ts, fid, _packed, gray, depth) in enumerate(metas):
+        for i, (ts, fid, _g8, _d16, gray, depth) in enumerate(metas):
             pose = self._finish_frame(ts, results, s=cores[i], idx=i,
                                       frame_id=fid, gray=gray, depth=depth)
             out = pose if pose is not None else out
@@ -497,10 +503,10 @@ class FastTracker:
         self.refresh_view()
         if self.chunk > 1:
             # reuse the (single-trace) chunk program on a repeated frame
-            stack = jnp.asarray(
-                np.broadcast_to(packed, (self.chunk,) + packed.shape)
-            )
-            results, _ = self.chunk_step(stack, self.carry, self.view)
+            g8, d16 = packed  # chunk mode passes the native pair
+            gs = jnp.asarray(np.broadcast_to(g8, (self.chunk,) + g8.shape))
+            ds = jnp.asarray(np.broadcast_to(d16, (self.chunk,) + d16.shape))
+            results, _ = self.chunk_step(gs, ds, self.carry, self.view)
             self.last_result = results
             result = results
             idx = 0

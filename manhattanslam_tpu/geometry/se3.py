@@ -224,3 +224,26 @@ def orthonormalize(M):
     d = jnp.linalg.det(R)
     U = U.at[..., :, -1].multiply(jnp.where(d < 0, -1.0, 1.0)[..., None])
     return U @ Vt
+
+
+def _inv33(A):
+    """Closed-form 3x3 inverse via the adjugate (pure VPU arithmetic)."""
+    c0 = jnp.cross(A[..., 1, :], A[..., 2, :])
+    c1 = jnp.cross(A[..., 2, :], A[..., 0, :])
+    c2 = jnp.cross(A[..., 0, :], A[..., 1, :])
+    det = jnp.sum(A[..., 0, :] * c0, -1)
+    adjT = jnp.stack([c0, c1, c2], axis=-1)  # columns = cofactor rows
+    return adjT / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)[..., None, None]
+
+
+def polar_rotation(M, iters: int = 4):
+    """Polar factor of a 3x3 matrix (== U @ Vt of its SVD) by Newton
+    iteration X <- (X + X^-T)/2 — quadratically convergent for the
+    near-orthogonal inputs of the Manhattan-frame step, and pure
+    closed-form arithmetic where jnp.linalg.svd lowers to an iterative
+    custom call (~0.5 ms per 3x3 solve on TPU).  det(M) < 0 converges to
+    the improper polar factor, exactly like U @ Vt."""
+    X = M
+    for _ in range(iters):
+        X = 0.5 * (X + jnp.swapaxes(_inv33(X), -1, -2))
+    return X

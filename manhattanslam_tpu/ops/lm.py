@@ -400,6 +400,37 @@ def _point_jacobians(T_cw, prob: PoseProblem, K, bf, translation_only,
     return Jp, Jl
 
 
+def _solve_spd(A, b):
+    """Unrolled Cholesky solve for the tiny static-dim SPD normal
+    equations (6x6 / 3x3, batched leading dims).  jnp.linalg.solve lowers
+    to an LU custom call that cannot fuse with the surrounding LM
+    iteration; this closed-form scalar arithmetic does."""
+    d = A.shape[-1]
+    L = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * d
+    for i in range(d):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * d
+    for i in reversed(range(d)):
+        s = y[i]
+        for k in range(i + 1, d):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, -1)
+
+
 def _plane_rows_raw(T_cw, prob: PoseProblem, masks):
     """UNWEIGHTED masked plane-family residual rows, one flat vector.
 
@@ -524,7 +555,7 @@ def solve_pose(
             J = jax.vmap(jvp_fn)(jnp.eye(dof, dtype=T.dtype)).T  # (R, dof)
             H = J.T @ J
             g = J.T @ r0
-            step = -jnp.linalg.solve(H + lam * jnp.eye(dof, dtype=T.dtype), g)
+            step = -_solve_spd(H + lam * jnp.eye(dof, dtype=T.dtype), g)
             T_new = retract(T, step)
             prev_cost = 0.5 * jnp.sum(r0 * r0)
             new_cost = 0.5 * jnp.sum(flat_at(T_new) ** 2)
@@ -615,7 +646,7 @@ def solve_pose(
             # keeps full LM.
             T, lam = carry
             H, g, _ = full_system(T)
-            step = -jnp.linalg.solve(H + lam * jnp.eye(dof, dtype=T.dtype), g)
+            step = -_solve_spd(H + lam * jnp.eye(dof, dtype=T.dtype), g)
             ok = jnp.all(jnp.isfinite(step)) & (jnp.linalg.norm(step) < 1.0)
             T = jnp.where(ok, retract(T, step), T)
             return (T, lam), None
@@ -635,7 +666,7 @@ def solve_pose(
             g_w = jnp.where(ok, g, g_acc)
             c_w = jnp.where(ok, c, c_acc)
             lam = jnp.clip(jnp.where(ok, lam * 0.5, lam * 4.0), 1e-8, 1e6)
-            step = -jnp.linalg.solve(
+            step = -_solve_spd(
                 H_w + lam * jnp.eye(dof, dtype=T.dtype), g_w
             )
             step = jnp.where(

@@ -31,6 +31,7 @@ def main():
     from manhattanslam_tpu.system import System
 
     chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    pdepth = int(sys.argv[2]) if len(sys.argv) > 2 else 2  # 0 = no pipeline
     W, H = 640, 480
     cfg = SlamConfig(
         camera=CameraConfig(
@@ -50,9 +51,12 @@ def main():
         d16 = np.clip(np.round(depth * 5000.0), 0, 65535).astype(np.uint16)
         frames.append((t, g8, d16))
 
-    slam = System(cfg, fast=True, pipeline=True, chunk=chunk,
+    slam = System(cfg, fast=True, pipeline=pdepth > 0, chunk=chunk,
                   enable_surfels=False)
     tr: FastTracker = slam.tracker
+    if pdepth > 0:
+        tr.pipeline_depth = pdepth
+    print("pipeline depth:", pdepth)
 
     t_stats = {"pack": 0.0, "upload": 0.0, "dispatch": 0.0, "pull": 0.0,
                "kf": 0.0, "host": 0.0, "n_kf": 0, "n_chunks": 0}
@@ -80,18 +84,17 @@ def main():
     # timed dispatch wrapper
     orig_chunk_step = tr.chunk_step
 
-    def timed_chunk_step(packed, carry, view):
+    def timed_chunk_step(g8s, d16s, carry, view):
         t0 = time.perf_counter()
-        out = orig_chunk_step(packed, carry, view)
+        out = orig_chunk_step(g8s, d16s, carry, view)
         t_stats["dispatch"] += time.perf_counter() - t0
         t_stats["n_chunks"] += 1
         return out
 
     tr.chunk_step = timed_chunk_step
 
-    # timed upload: patch jnp.asarray inside _dispatch_chunk is hard;
-    # instead time pack_frame (host) via the tracker's track() entry
-    orig_pack = dt.pack_frame
+    # host frame coercion (no-op for sensor-native inputs)
+    orig_pack = dt.to_native
 
     def timed_pack(gray, depth):
         t0 = time.perf_counter()
@@ -99,7 +102,7 @@ def main():
         t_stats["pack"] += time.perf_counter() - t0
         return out
 
-    ft.dt.pack_frame = timed_pack
+    ft.dt.to_native = timed_pack
 
     for i in range(n_warm):
         t, gray, depth = frames[i]
