@@ -28,14 +28,20 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # in seconds.
 import os as _os
 
+# MSLAM_JAX_CACHE="" disables the persistent cache entirely.  The test
+# suite does this (tests/conftest.py): the cache WRITE path has been seen
+# to abort the process on some hosts (a crash inside JAX's
+# put_executable_and_time), and CPU test programs compile in milliseconds
+# anyway.
 _cache_dir = _os.environ.get(
     "MSLAM_JAX_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
 )
-try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:  # pragma: no cover - cache is best-effort
-    pass
+if _cache_dir:
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 from manhattanslam_tpu.config import SlamConfig, load_config  # noqa: F401

@@ -207,6 +207,11 @@ class SlamConfig:
     caps: CapacityConfig = field(default_factory=CapacityConfig)
     th_depth: float = 40.0  # close/far point threshold, baseline multiples
     depth_map_factor: float = 5000.0
+    # keyframe-policy hysteresis (NeedNewKeyFrame, Tracking.cc:1433-1508):
+    # the reference's mMinFrames=0 works because its c1b gate also requires
+    # the (asynchronous) mapper to be idle; our mapping backend is
+    # synchronous, so a small explicit min interval plays that role.
+    min_kf_frames: int = 5
     save_path_frame: str = "CameraTrajectory.txt"
     save_path_keyframe: str = "KeyFrameTrajectory.txt"
 

@@ -219,10 +219,9 @@ class SyntheticSequence:
     def gt_rows(self):
         """Ground truth as (timestamp, twc, quat) rows for ATE evaluation."""
         from manhattanslam_tpu.geometry import se3
-        import jax.numpy as jnp
 
         rows = []
         for i, T in enumerate(self.poses):
-            q = np.asarray(se3.rotmat_to_quat(jnp.asarray(T[:3, :3])))
+            q = se3.rotmat_to_quat_np(T[:3, :3])
             rows.append((float(i) / self.fps, T[:3, 3].copy(), q))
         return rows

@@ -67,6 +67,16 @@ class FastTracker:
         self._pending = []  # [(meta, device result)] awaiting summary
         self._buf = []  # chunk mode: buffered (ts, fid, packed, gray, depth)
 
+        # host-phase accounting (seconds + event counts per section):
+        # the perf story of this system is host overhead between device
+        # dispatches, so the tracker self-reports where host time goes
+        # (bench.py prints the breakdown next to the fps headline)
+        from collections import defaultdict
+
+        self.perf = defaultdict(float)
+        self.perf_n = defaultdict(int)
+        self.frame_log: list[tuple] = []  # (frame_id, n_inliers, tracked_ok)
+
         self.state = NOT_INITIALIZED
         self.only_tracking = False
         self.request_reset = False
@@ -79,6 +89,8 @@ class FastTracker:
         self.last_mp_idx = np.full(cfg.caps.max_keypoints, -1, np.int32)
         self.records: list[FrameRecord] = []
         self.max_frames = int(cfg.camera.fps)
+        self.min_frames = int(cfg.min_kf_frames)
+        self.last_reloc_frame_id = -(10**9)
 
         # Manhattan registries (host source of truth; dense mirrors upload)
         MP = cfg.caps.max_map_planes
@@ -96,6 +108,13 @@ class FastTracker:
     # ------------------------------------------------------------------ API
     def track(self, timestamp: float, gray: np.ndarray, depth: np.ndarray):
         self.frame_id += 1
+        if self.only_tracking != self._vo_flag:
+            # localization mode toggled: enable/disable the temporal VO
+            # pseudo-landmark block (UpdateLastFrame, Tracking.cc:1052)
+            self.carry = {
+                **self.carry, "vo_points": jnp.array(self.only_tracking)
+            }
+            self._vo_flag = self.only_tracking
         if self.chunk > 1:
             # sensor-native buffering: no host byte work per frame (the
             # chunk dispatch uploads the raw u8/u16 stacks)
@@ -117,6 +136,10 @@ class FastTracker:
 
         pd = jnp.asarray(packed)  # one upload
         result, new_carry = self.step(pd, self.carry, self.view)
+        try:  # prime the async summary transfer behind this frame's compute
+            result["summary_flat"].copy_to_host_async()
+        except (AttributeError, KeyError):
+            pass
         self.last_result = result
         # carry updates are tracked_ok-gated on device, so adopting the new
         # carry before reading the summary is safe
@@ -154,19 +177,50 @@ class FastTracker:
             results, new_carry = self.chunk_step(
                 jnp.asarray(g8s), jnp.asarray(d16s), self.carry, self.view
             )
+            try:
+                results["chunk_flat"].copy_to_host_async()
+            except (AttributeError, KeyError):
+                pass
             self.carry = new_carry
             self.last_result = results
             out2 = self._process_chunk(metas, results)
             out = out2 if out2 is not None else out
         return out
 
+    def _timed(self, section: str):
+        import contextlib
+        import time as _time
+
+        @contextlib.contextmanager
+        def cm():
+            t0 = _time.perf_counter()
+            try:
+                yield
+            finally:
+                self.perf[section] += _time.perf_counter() - t0
+                self.perf_n[section] += 1
+
+        return cm()
+
     # ------------------------------------------------------------ chunk mode
     def _dispatch_chunk(self):
         metas = self._buf
         self._buf = []
-        g8s = jnp.asarray(np.stack([m[2] for m in metas]))
-        d16s = jnp.asarray(np.stack([m[3] for m in metas]))
-        results, new_carry = self.chunk_step(g8s, d16s, self.carry, self.view)
+        with self._timed("chunk_dispatch"):
+            g8s = jnp.asarray(np.stack([m[2] for m in metas]))
+            d16s = jnp.asarray(np.stack([m[3] for m in metas]))
+            results, new_carry = self.chunk_step(
+                g8s, d16s, self.carry, self.view
+            )
+            # prime the summary transfer NOW: the device queue is in-order,
+            # so a copy enqueued here rides directly behind this chunk's
+            # compute.  Pulled two chunks later (pipeline depth 2), the
+            # bytes are already host-side — otherwise the blocking pull
+            # waits behind the NEXT two chunks' device work (~350 ms).
+            try:
+                results["chunk_flat"].copy_to_host_async()
+            except (AttributeError, KeyError):  # single-frame result shape
+                pass
         self.carry = new_carry
         self.last_result = results
         if self.pipeline:
@@ -179,9 +233,11 @@ class FastTracker:
 
     def _process_chunk(self, metas, results):
         # ONE transfer: per-frame cores + chunk-accumulated landmark stats
-        cores, stats = dt.pull_chunk_summary(
-            results, self.cfg.caps.max_map_points, self.cfg.caps.max_map_lines
-        )
+        with self._timed("summary_pull"):
+            cores, stats = dt.pull_chunk_summary(
+                results, self.cfg.caps.max_map_points,
+                self.cfg.caps.max_map_lines,
+            )
         # landmark found/visible counts were accumulated on device over
         # the chunk (tracked_ok-gated); applied once per chunk — the same
         # latency class as the reference's asynchronous LocalMapping
@@ -235,6 +291,11 @@ class FastTracker:
             frame_id = self.frame_id
 
         ok = bool(s["tracked_ok"])
+        self.frame_log.append(
+            (int(frame_id), int(s.get("n_inliers", -1)), ok,
+             self._ref_matches if self._ref_matches is not None else -1,
+             self._ref_total)
+        )
         if not ok:
             # relocalization attempt (every frame while lost,
             # Tracking.cc:410)
@@ -299,24 +360,81 @@ class FastTracker:
         if frame_id is None:
             frame_id = self.frame_id
         m = self.map
-        if m.n_kf >= self.cfg.caps.max_keyframes - 1:
+        c = self.cfg.caps
+        # capacity: count FREE slots — retired (culled) slots in kf_free are
+        # reusable, so a saturated high-water mark (n_kf) must not stop
+        # keyframing forever on long sequences
+        free_kf = (c.max_keyframes - m.n_kf) + len(m.kf_free)
+        if free_kf <= 1:
+            self.force_keyframe = False
             return False
-        ref_ids = m.kf_mp_idx[self.ref_kf]
-        ref_matches = int((ref_ids >= 0).sum())
-        th_ref = 0.75 if m.n_kf > 2 else 0.4
+        if self.force_keyframe:  # warmup hook (compile the KF-event path)
+            self.force_keyframe = False
+            return True
+        n_kfs = m.n_kf - len(m.kf_free)  # live keyframes
+        # reloc-recency gate (Tracking.cc:1443-1444): no keyframes right
+        # after a relocalization while the map is mature
+        if (
+            frame_id < self.last_reloc_frame_id + self.max_frames
+            and n_kfs > self.max_frames
+        ):
+            return False
+        since_kf = frame_id - self.last_kf_frame_id
+        # min-frames hysteresis replaces the reference's "mapper idle" c1b
+        # arm (our backend is synchronous, so c1b alone would always pass)
+        if since_kf < self.min_frames:
+            self._new_plane_streak = (
+                self._new_plane_streak + 1 if bool(s["new_plane"]) else 0
+            )
+            return False
+        # TrackedMapPoints(nMinObs): ref-KF matches with >= nMinObs total
+        # observations (Tracking.cc:1447-1450) — counting ALL matches
+        # inflates ref_matches and over-triggers c2.  The count only
+        # changes at keyframe / reloc / retire events, so it is cached.
+        if self._ref_matches is None:
+            nmin = 3 if n_kfs > 2 else 2
+            ref_ids = m.kf_mp_idx[self.ref_kf]
+            ref_ids = ref_ids[ref_ids >= 0]
+            if len(ref_ids):
+                flat = m.kf_mp_idx[: m.n_kf][m.kf_valid[: m.n_kf]]
+                flat = flat[flat >= 0]
+                obs = np.bincount(flat, minlength=c.max_map_points)
+                self._ref_matches = int((obs[ref_ids] >= nmin).sum())
+                self._ref_total = len(ref_ids)
+            else:
+                self._ref_matches = 0
+                self._ref_total = 0
+        ref_matches = self._ref_matches
+        th_ref = 0.75 if n_kfs > 2 else 0.4
         tracked_close = int(s["tracked_close"])
         nontracked_close = int(s["nontracked_close"])
         need_close = tracked_close < 100 and nontracked_close > 70
-        # the reference's c1 disjunction (Tracking.cc:1470-1480) is
-        # c1a (frames >= maxFrames) OR c1b (frames >= minFrames AND mapper
-        # idle) OR c1c (weak/close).  Here minFrames=0 and the mapping
-        # backend runs synchronously (always idle), so c1b — and therefore
-        # c1 — is identically true; only c2 and the new-plane trigger
-        # (Tracking.cc:1494) gate the decision.
+        c1a = since_kf >= self.max_frames
+        c1c = self.n_inliers < ref_matches * 0.25 or need_close
         c2 = (
             self.n_inliers < ref_matches * th_ref or need_close
         ) and self.n_inliers > 15
-        return c2 or bool(s["new_plane"])
+        # new-plane trigger (Tracking.cc:1494), but only for a plane that
+        # PERSISTS unassociated across >= 2 consecutive frames — a one-frame
+        # segmentation flicker must not mint a keyframe
+        self._new_plane_streak = (
+            self._new_plane_streak + 1 if bool(s["new_plane"]) else 0
+        )
+        new_plane = self._new_plane_streak >= 2 and self.n_inliers > 15
+        # past the min-frames hysteresis, c1b' (mapper idle) holds, so the
+        # reference's (c1a||c1b||c1c)&&c2 collapses to c2; c1a/c1c are kept
+        # for documentation of intent (they are implied by c1b')
+        del c1a, c1c
+        decision = c2 or new_plane
+        if decision:
+            self._new_plane_streak = 0
+        return decision
+
+    force_keyframe = False
+    _new_plane_streak = 0
+    _ref_matches = None  # cache; None = recompute (map/ref-KF changed)
+    _ref_total = 0
+    _vo_flag = False  # carry["vo_points"] mirror (localization mode)
 
     def _pull_payload(self, result, idx=None) -> dict:
         """Keyframe payload in two transfers (flat pack + descriptors;
@@ -326,8 +444,17 @@ class FastTracker:
     def _create_keyframe(
         self, timestamp, result, s, frame_id, idx=None, gray=None, depth=None,
     ) -> None:
+        with self._timed("keyframe_event"):
+            self._create_keyframe_inner(
+                timestamp, result, s, frame_id, idx, gray, depth
+            )
+
+    def _create_keyframe_inner(
+        self, timestamp, result, s, frame_id, idx=None, gray=None, depth=None,
+    ) -> None:
         m = self.map
-        payload = self._pull_payload(result, idx)
+        with self._timed("kf_payload_pull"):
+            payload = self._pull_payload(result, idx)
         feats_np = payload["feats"]
         kf_id = m.add_keyframe(self.T_cw, timestamp, frame_id, feats_np)
 
@@ -347,13 +474,18 @@ class FastTracker:
         self.ref_kf = kf_id
         self.last_kf_frame_id = frame_id
         membership = result["plane_membership"]
-        self.kf_membership = membership if idx is None else membership[idx]
+        self.kf_membership = (
+            membership if idx is None
+            else dt._dyn_row(membership, np.int32(idx))
+        )
         # chunk mode: the keyframe's own gray/depth for the surfel mapper
         # (System's last-frame copy would be a younger frame)
         self.kf_gray, self.kf_depth = gray, depth
         if self.on_keyframe is not None:
-            self.on_keyframe(kf_id, payload["feats"], feats_np)
+            with self._timed("mapping_backend"):
+                self.on_keyframe(kf_id, payload["feats"], feats_np)
         self.refresh_view()
+        self._ref_matches = None
 
     kf_membership = None
     kf_gray = None
@@ -532,39 +664,75 @@ class FastTracker:
         self.ref_kf = kf_id
         self.last_kf_frame_id = self.frame_id
         self.state = OK
-        self.carry = dt.init_carry(self.cfg)
+        self.carry = dt.init_carry(self.cfg, vo_points=self.only_tracking)
         membership = result["plane_membership"]
-        self.kf_membership = membership if idx is None else membership[idx]
+        self.kf_membership = (
+            membership if idx is None
+            else dt._dyn_row(membership, np.int32(idx))
+        )
         if self.on_keyframe is not None:
             self.on_keyframe(kf_id, payload["feats"], feats_np)
         self.refresh_view()
+        self._ref_matches = None
+
+    def warm_programs(self, local_mapper=None) -> None:
+        """Compile every program reachable from the steady-state loop and
+        its keyframe / relocalization events (pulls, view updates, mapping
+        backend, reloc pipeline).  Call after at least one tracked chunk;
+        benchmark timed regions then run with ZERO XLA compiles."""
+        r = self.last_result
+        if r is None:
+            return
+        if self.chunk > 1:
+            dt.pull_kfx(r, 0)
+            dt.pull_payload(r, 0)
+            jax.device_get(dt._dyn_row(r["plane_membership"], np.int32(0)))
+            feats0 = dt._dyn_tree(r["feats"], np.int32(0))
+        else:
+            dt.pull_payload(r, None)
+            feats0 = r["feats"]
+        if self._shadow is not None and self.view is not None:
+            self.view = dt.apply_view_update(
+                self.view, [dt.noop_view_update(self._shadow)]
+            )
+        if self.reloc_module is not None:
+            self.reloc_module.warm(feats0)
+        if local_mapper is not None:
+            local_mapper.warm_programs()
 
     _shadow = None  # host snapshot of what the device view holds
 
     def refresh_view(self) -> None:
-        host = dt.build_host_view(
-            self.cfg, self.map, self.reg2, self.reg3, self.ref_kf
-        )
-        if self.view is None or self._shadow is None:
-            self.view = jax.device_put(host)
-        else:
-            rows, full = dt.diff_host_views(self._shadow, host)
-            self.view = dt.apply_view_update(self.view, rows, full)
-        self._shadow = host
+        with self._timed("refresh_view"):
+            host = dt.build_host_view(
+                self.cfg, self.map, self.reg2, self.reg3, self.ref_kf
+            )
+            if self.view is None or self._shadow is None:
+                self.view = jax.device_put(host)
+            else:
+                updates = dt.diff_host_views(self._shadow, host)
+                self.view = dt.apply_view_update(self.view, updates)
+            self._shadow = host
 
     # --------------------------------------------------------------- reloc
     def _relocalize(self, result, idx=None) -> bool:
         if self.reloc_module is None:
             return False
+        with self._timed("relocalize"):
+            return self._relocalize_inner(result, idx)
+
+    def _relocalize_inner(self, result, idx=None) -> bool:
         feats = result["feats"]
         if idx is not None:
-            feats = jax.tree.map(lambda a: a[idx], feats)
+            feats = dt._dyn_tree(feats, np.int32(idx))
         T = self.reloc_module.relocalize(feats)
         if T is None:
             return False
         self.T_cw = T.astype(np.float32)
-        self.carry = dt.init_carry(self.cfg, self.T_cw)
+        self.carry = dt.init_carry(self.cfg, self.T_cw, vo_points=self.only_tracking)
         self.n_inliers = 50
+        self.last_reloc_frame_id = self.frame_id
+        self._ref_matches = None
         # re-anchor the reference keyframe to the relocalization match so
         # the next frame's descriptor-fallback candidate searches a KF
         # that actually overlaps the current view
@@ -589,6 +757,7 @@ class FastTracker:
         slot can then be reused without corrupting the trajectory."""
         if parent < 0:
             return
+        self._ref_matches = None
         m = self.map
         M = (m.kf_pose[kf] @ np.linalg.inv(m.kf_pose[parent])).astype(
             np.float32
@@ -624,7 +793,7 @@ class FastTracker:
             T_cw = rec.T_cr @ Trw
             R_wc = T_cw[:3, :3].T
             t_wc = -R_wc @ T_cw[:3, 3]
-            q = np.asarray(se3.rotmat_to_quat(jnp.asarray(R_wc)))
+            q = se3.rotmat_to_quat_np(R_wc)
             rows.append((rec.timestamp, t_wc, q))
         return rows
 
@@ -637,6 +806,6 @@ class FastTracker:
             T = m.kf_pose[i]
             R_wc = T[:3, :3].T
             t_wc = -R_wc @ T[:3, 3]
-            q = np.asarray(se3.rotmat_to_quat(jnp.asarray(R_wc)))
+            q = se3.rotmat_to_quat_np(R_wc)
             rows.append((m.kf_time[i], t_wc, q))
         return rows

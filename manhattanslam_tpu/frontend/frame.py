@@ -12,6 +12,8 @@ mask — the TPU-native replacement of the reference's std::vector<KeyPoint>.
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 from functools import partial
 
 import jax
@@ -101,6 +103,7 @@ def _extract_level(
     return {"xy": xy, "response": resp, "valid": valid, "angle": angle, "desc": desc}
 
 
+@_lru_cache(maxsize=16)
 def build_extractor(cfg: SlamConfig, use_pallas: bool | None = None):
     """Returns extract(gray, depth) -> frame-features pytree (jitted).
 

@@ -530,7 +530,7 @@ class Tracker:
             T_cw = rec.T_cr @ Trw
             R_wc = T_cw[:3, :3].T
             t_wc = -R_wc @ T_cw[:3, 3]
-            q = np.asarray(se3.rotmat_to_quat(jnp.asarray(R_wc)))
+            q = se3.rotmat_to_quat_np(R_wc)
             rows.append((rec.timestamp, t_wc, q))
         return rows
 
@@ -543,6 +543,6 @@ class Tracker:
             T = m.kf_pose[i]
             R_wc = T[:3, :3].T
             t_wc = -R_wc @ T[:3, 3]
-            q = np.asarray(se3.rotmat_to_quat(jnp.asarray(R_wc)))
+            q = se3.rotmat_to_quat_np(R_wc)
             rows.append((m.kf_time[i], t_wc, q))
         return rows

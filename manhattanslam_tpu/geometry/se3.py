@@ -180,6 +180,46 @@ def rotmat_to_quat(R):
     return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
 
+def rotmat_to_quat_np(R: "np.ndarray") -> "np.ndarray":
+    """Numpy rotmat_to_quat (batched): export paths convert hundreds of
+    poses per save; a per-pose device dispatch costs a tunnel roundtrip
+    each on remote backends."""
+    import numpy as np
+
+    R = np.asarray(R, np.float64)
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+    eps = 1e-12
+
+    sw = np.sqrt(np.clip(tr + 1.0, eps, None)) * 2.0
+    qw = np.stack(
+        [(m21 - m12) / sw, (m02 - m20) / sw, (m10 - m01) / sw, 0.25 * sw], -1
+    )
+    sx = np.sqrt(np.clip(1.0 + m00 - m11 - m22, eps, None)) * 2.0
+    qx = np.stack(
+        [0.25 * sx, (m01 + m10) / sx, (m02 + m20) / sx, (m21 - m12) / sx], -1
+    )
+    sy = np.sqrt(np.clip(1.0 + m11 - m00 - m22, eps, None)) * 2.0
+    qy = np.stack(
+        [(m01 + m10) / sy, 0.25 * sy, (m12 + m21) / sy, (m02 - m20) / sy], -1
+    )
+    sz = np.sqrt(np.clip(1.0 + m22 - m00 - m11, eps, None)) * 2.0
+    qz = np.stack(
+        [(m02 + m20) / sz, (m12 + m21) / sz, 0.25 * sz, (m10 - m01) / sz], -1
+    )
+    use_w = tr > 0
+    use_x = (~use_w) & (m00 >= m11) & (m00 >= m22)
+    use_y = (~use_w) & (~use_x) & (m11 >= m22)
+    q = np.where(
+        use_w[..., None],
+        qw,
+        np.where(use_x[..., None], qx, np.where(use_y[..., None], qy, qz)),
+    )
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
 def quat_to_rotmat(q):
     """(qx,qy,qz,qw) -> rotation matrix."""
     x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]

@@ -156,3 +156,27 @@ def fuse_candidates(
     )
     ok = matching.resolve_one_to_one(idx, dist, ok, kf_feats["desc"].shape[0])
     return {"kp_idx": idx, "ok": ok, "dist": dist}
+
+
+@jax.jit
+def triangulate_pairs(kp1, kp2s, T1_cw, T2s_cw, K, scale_factor):
+    """triangulate_pair vmapped over a fixed-size stack of neighbor
+    keyframes — the per-neighbor dispatch/pull pattern cost one tunnel
+    roundtrip per OUTPUT BUFFER per neighbor (~30 ms each on remote
+    backends); the batch costs one dispatch and 4 stacked buffers total.
+    Padding rows ride with kp2s.valid=False (every match rejects)."""
+    return jax.vmap(
+        lambda kp2, T2: triangulate_pair(kp1, kp2, T1_cw, T2, K, scale_factor)
+    )(kp2s, T2s_cw)
+
+
+@jax.jit
+def fuse_candidates_batch(mp_pos, mp_desc, mp_valid, T_cws, kf_feats_s,
+                          K, image_hw_h, image_hw_w):
+    """fuse_candidates vmapped over a fixed-size stack of target keyframes
+    (shared landmark bank).  Padding rows: kf_feats_s.valid=False."""
+    return jax.vmap(
+        lambda T, f: fuse_candidates(
+            mp_pos, mp_desc, mp_valid, T, f, K, image_hw_h, image_hw_w
+        )
+    )(T_cws, kf_feats_s)

@@ -306,6 +306,55 @@ def line_descriptors(gray: jnp.ndarray, sp: jnp.ndarray, ep: jnp.ndarray):
     return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True).clip(1e-6)
 
 
+def _whiten_factors(pts: jnp.ndarray, f: jnp.ndarray):
+    """Closed-form whitening factor L with L^T L = Sigma^{-1} for the
+    anisotropic backprojection covariance Sigma = J diag(1,1,sigma_d^2) J^T,
+    J = [[z/f,0,x/z],[0,z/f,y/z],[0,0,1]] (3DLineExtractor.cpp:74-90).
+
+    The reference decomposes Sigma by SVD per point; any L with
+    L^T L = Sigma^{-1} gives the identical Mahalanobis point-line distance
+    (whitening is unique up to rotation, and both |u x v| and |u - v| are
+    rotation-invariant), so we use the triangular factor
+    L = diag(1,1,sigma_d)^{-1} J^{-1} — closed form, no decomposition:
+    rows (f/z, 0, -x f/z^2), (0, f/z, -y f/z^2), (0, 0, 1/sigma_d).
+    Returns (f_z, cx_z, cy_z, inv_sig), each (..., ) like pts[..., 0].
+    """
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    zc = z.clip(1e-6)
+    # depthStdDev (3DLineExtractor.cpp:60-72): c1 d^2 + c2 d + c3
+    sig = (0.00273 * z * z + 0.00074 * z - 0.00058).clip(1e-4)
+    f_z = f / zc
+    return f_z, x * f_z / zc, y * f_z / zc, 1.0 / sig
+
+
+def _mah_dist_sq(pts, fw, q1, q2):
+    """Squared Mahalanobis distance of each point to the 3D line (q1,q2)
+    under its own covariance (mah_dist3d_pt_line, 3DLineExtractor.cpp:
+    264-296): whiten both endpoint offsets by the point's L, then the
+    point-line distance in whitened space = |u x v| / |u - v|.
+
+    pts (..., 3) broadcast against q1/q2 (..., 3); fw = whitening factors
+    of pts (each broadcastable to pts[..., 0]).
+    """
+    f_z, cx, cy, inv_sig = fw
+
+    def whiten(d):
+        return jnp.stack(
+            [
+                f_z * d[..., 0] - cx * d[..., 2],
+                f_z * d[..., 1] - cy * d[..., 2],
+                inv_sig * d[..., 2],
+            ],
+            -1,
+        )
+
+    u = whiten(pts - q1)
+    v = whiten(pts - q2)
+    num = jnp.sum(jnp.cross(u, v) ** 2, -1)
+    den = jnp.sum((u - v) ** 2, -1).clip(1e-12)
+    return num / den
+
+
 @partial(jax.jit, static_argnames=("n_samples", "n_hyp"))
 def lift_lines_3d(
     depth: jnp.ndarray,
@@ -318,9 +367,11 @@ def lift_lines_3d(
 ) -> dict:
     """Lift 2D segments to 3D camera-frame segments from depth samples.
 
-    RANSAC over 2-point hypotheses under depth-noise-normalized point-line
-    distance (3DLineExtractor.cpp:118-206: threshold 1.5 sigma, <=10
-    hypotheses), then endpoints from inlier projections onto the best line.
+    RANSAC over 2-point hypotheses under the anisotropic per-point
+    Mahalanobis point-line distance (3DLineExtractor.cpp:118-206:
+    threshold 1.5, <=10 hypotheses, backprojection-Jacobian covariance),
+    then a fixed-round analog of the reference's refit/re-select loop
+    (:169-186), endpoints from inlier projections onto the fitted line.
     Returns sp3 (L,3), ep3 (L,3), ok (L,).
     """
     h, w = depth.shape
@@ -334,36 +385,53 @@ def lift_lines_3d(
     x3 = (pos[..., 0] - K[0, 2]) / K[0, 0] * z
     y3 = (pos[..., 1] - K[1, 2]) / K[1, 1] * z
     pts = jnp.stack([x3, y3, z], -1)  # (L, S, 3)
-    sigma = 1.425e-3 * z * z + 1e-3  # Kinect-like depth noise model
+    fw = _whiten_factors(pts, K[0, 0])  # each (L, S)
 
     # hypotheses: pairs spread along the segment
     i0 = jnp.linspace(0, n_samples // 2 - 1, n_hyp).astype(jnp.int32)
     i1 = jnp.linspace(n_samples // 2, n_samples - 1, n_hyp).astype(jnp.int32)
     a = pts[:, i0, :]  # (L, H, 3)
     b = pts[:, i1, :]
-    ab = b - a
-    ab_n = ab / jnp.linalg.norm(ab, axis=-1, keepdims=True).clip(1e-9)
-    hyp_ok = good[:, i0] & good[:, i1]
+    hyp_ok = good[:, i0] & good[:, i1] & (
+        jnp.sum((b - a) ** 2, -1) > 1e-12
+    )
 
-    # point-line distances: (L, H, S)
-    ap = pts[:, None, :, :] - a[:, :, None, :]
-    cross = jnp.cross(ap, ab_n[:, :, None, :])
-    dist = jnp.linalg.norm(cross, axis=-1)
-    norm_dist = dist / sigma[:, None, :]
-    inl = (norm_dist < 1.5) & good[:, None, :] & hyp_ok[:, :, None]
+    # Mahalanobis point-line distances: (L, H, S)
+    fw_h = tuple(t[:, None, :] for t in fw)
+    d2 = _mah_dist_sq(
+        pts[:, None, :, :], fw_h, a[:, :, None, :], b[:, :, None, :]
+    )
+    inl = (d2 < 1.5**2) & good[:, None, :] & hyp_ok[:, :, None]
     n_inl = jnp.sum(inl, -1)  # (L, H)
     best = jnp.argmax(n_inl, -1)  # (L,)
     bi = jnp.arange(L)
     best_inl = inl[bi, best]  # (L, S)
-    best_n = n_inl[bi, best]
 
-    # refit: principal direction of inliers
-    wgt = best_inl.astype(jnp.float32)
-    nw = jnp.sum(wgt, -1, keepdims=True).clip(1.0)
-    mean = jnp.sum(pts * wgt[..., None], 1) / nw
-    cen = (pts - mean[:, None, :]) * wgt[..., None]
-    cov = jnp.einsum("lsi,lsj->lij", cen, cen) / nw[..., None]
-    _, direction = eig33.eig33_largest(cov)
+    # refit/re-select (fixed 2 rounds — the compile-friendly analog of the
+    # reference's while-improving loop): principal direction of inliers,
+    # then re-gate every sample by Mahalanobis distance to the fitted line
+    def refit(inliers):
+        wgt = inliers.astype(jnp.float32)
+        nw = jnp.sum(wgt, -1, keepdims=True).clip(1.0)
+        mean = jnp.sum(pts * wgt[..., None], 1) / nw
+        cen = (pts - mean[:, None, :]) * wgt[..., None]
+        cov = jnp.einsum("lsi,lsj->lij", cen, cen) / nw[..., None]
+        _, direction = eig33.eig33_largest(cov)
+        return mean, direction
+
+    for _ in range(2):
+        mean, direction = refit(best_inl)
+        d2_fit = _mah_dist_sq(
+            pts, fw, mean[:, None, :], (mean + direction)[:, None, :]
+        )
+        re_inl = (d2_fit < 1.5**2) & good
+        # only adopt the reselection where it does not shrink the set
+        # (the reference keeps the larger inlier set, :180-185)
+        take = jnp.sum(re_inl, -1) >= jnp.sum(best_inl, -1)
+        best_inl = jnp.where(take[:, None], re_inl, best_inl)
+
+    best_n = jnp.sum(best_inl, -1)
+    mean, direction = refit(best_inl)
 
     t_proj = jnp.sum((pts - mean[:, None, :]) * direction[:, None, :], -1)
     t_proj = jnp.where(best_inl, t_proj, 0.0)

@@ -274,6 +274,12 @@ class SlamMap:
         replay-time bad-ref chain, System.cc:221-224), and the slot
         becomes reusable by add_keyframe."""
         parent = int(self.kf_parent[kf])
+        if parent < 0:
+            # spanning-tree root (the initialization keyframe): never
+            # retired, exactly like KeyFrame::SetBadFlag's mnId==0 guard —
+            # records/children re-anchor onto the parent, and a root has
+            # none; reusing its slot would corrupt every chain through it.
+            return
         for cb in self.kf_retire_callbacks:
             cb(kf, parent)
         self.kf_valid[kf] = False

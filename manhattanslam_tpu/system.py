@@ -104,7 +104,9 @@ class System:
             try:
                 from manhattanslam_tpu.viewer import Viewer
 
-                self.viewer = Viewer(self.cfg, self.map, self.tracker)
+                self.viewer = Viewer(
+                    self.cfg, self.map, self.tracker, self.surfel_mapper
+                )
             except ImportError:
                 pass
         self._last_gray = None
@@ -143,6 +145,13 @@ class System:
 
     # alias matching the reference naming
     Track = track
+
+    def warmup(self) -> None:
+        """Compile every device program the steady state and its keyframe /
+        reloc events can reach (fast tracker only; no-op otherwise).  Run
+        after tracking a few frames and before any timed measurement."""
+        if hasattr(self.tracker, "warm_programs"):
+            self.tracker.warm_programs(self.local_mapper)
 
     def activate_localization_mode(self) -> None:
         self.tracker.only_tracking = True

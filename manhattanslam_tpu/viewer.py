@@ -16,10 +16,11 @@ import numpy as np
 
 
 class Viewer:
-    def __init__(self, cfg, slam_map, tracker):
+    def __init__(self, cfg, slam_map, tracker, surfel_mapper=None):
         self.cfg = cfg
         self.map = slam_map
         self.tracker = tracker
+        self.surfel_mapper = surfel_mapper
         self._frame = None
         self._kp = None
 
@@ -52,6 +53,22 @@ class Viewer:
             if len(cl):
                 ax.scatter(cl[:, 0], cl[:, 1], cl[:, 2], s=2,
                            color=m.pl_color[j], alpha=0.6)
+        # surfels (MapDrawer.cc:141-165 draws the surfel cloud shaded by
+        # intensity): stable surfels from the drift-free mapper, rendered
+        # as small gray-scaled dots (decimated for plot weight)
+        if self.surfel_mapper is not None:
+            try:
+                surf = self.surfel_mapper.export_arrays()
+            except ValueError:  # no surfels yet (empty concatenate)
+                surf = None
+            if surf is not None and len(surf["pos"]):
+                sp = surf["pos"]
+                si = surf["intensity"] / 255.0
+                step = max(1, len(sp) // 4000)
+                ax.scatter(
+                    sp[::step, 0], sp[::step, 1], sp[::step, 2], s=1,
+                    c=np.clip(si[::step], 0, 1), cmap="gray", alpha=0.3,
+                )
         # keyframes + covisibility graph (MapDrawer.cc:166-243)
         kf_centers = []
         for i in range(m.n_kf):

@@ -7,6 +7,11 @@ single-device CPU.  Set MSLAM_TEST_TPU=1 to run on real hardware instead.
 
 import os
 
+# No persistent compilation cache under pytest: the cache write path can
+# abort the whole process on some hosts (seen as SIGSEGV/SIGABRT inside
+# JAX's put_executable_and_time), and CPU test programs compile fast.
+os.environ.setdefault("MSLAM_JAX_CACHE", "")
+
 if not os.environ.get("MSLAM_TEST_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
@@ -66,3 +71,20 @@ def small_cfg():
             max_local_lines=128,
         ),
     )
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _jax_cache_hygiene():
+    """Drop live compiled executables between test modules.
+
+    XLA:CPU's in-process JIT segfaults deterministically on this image
+    when a large compilation lands after many hundreds of executables
+    have accumulated (reproduced at tests/test_lm.py after 67 tests;
+    the same compile succeeds in a fresh process).  Clearing JAX's
+    executable caches between modules keeps the live-JIT footprint
+    bounded; cross-module recompiles are acceptable at test shapes.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -106,3 +106,88 @@ def test_fast_localization_beyond_map(small_cfg):
         ok += sys.track(gray, depth, t) is not None
     assert ok >= 12  # tolerate at most 2 drops across the sweep
     assert sys.map.n_kf <= 2  # no keyframes added in localization mode
+
+
+def test_keyframe_gate_counts_free_slots(small_cfg):
+    """A saturated keyframe high-water mark with retired (reusable) slots
+    must NOT stop keyframing forever (the n_kf >= cap-1 gate bug): the
+    capacity check counts free slots, not the high-water mark."""
+    from manhattanslam_tpu.frontend.fast_tracking import FastTracker
+    from manhattanslam_tpu.slam_map import SlamMap
+
+    m = SlamMap(small_cfg)
+    tr = FastTracker(small_cfg, m, enable_planes=False, enable_lines=False)
+    # simulate a long-run state: high-water mark at capacity, some retired
+    m.n_kf = small_cfg.caps.max_keyframes
+    m.kf_free = [3, 7, 11]
+    tr.frame_id = 1000
+    tr.last_kf_frame_id = 0  # long since the last keyframe
+    tr.n_inliers = 20
+    s = {"tracked_close": 0, "nontracked_close": 100, "new_plane": False}
+    # weak tracking + free slots available -> keyframe allowed
+    assert tr._need_new_keyframe(s, frame_id=1000)
+    # with NO free slots and the mark saturated -> blocked
+    m.kf_free = []
+    assert not tr._need_new_keyframe(s, frame_id=1000)
+
+
+def test_keyframe_gate_reloc_recency(small_cfg):
+    """No keyframe insertion within maxFrames of a relocalization on a
+    mature map (Tracking.cc:1443-1444)."""
+    from manhattanslam_tpu.frontend.fast_tracking import FastTracker
+    from manhattanslam_tpu.slam_map import SlamMap
+
+    m = SlamMap(small_cfg)
+    tr = FastTracker(small_cfg, m, enable_planes=False, enable_lines=False)
+    m.n_kf = tr.max_frames + 5  # mature map (> maxFrames live KFs)
+    tr.n_inliers = 20
+    tr.last_kf_frame_id = 0
+    s = {"tracked_close": 0, "nontracked_close": 100, "new_plane": False}
+    tr.last_reloc_frame_id = 995
+    assert not tr._need_new_keyframe(s, frame_id=1000)  # 5 < maxFrames ago
+    tr.last_reloc_frame_id = 1000 - tr.max_frames - 1
+    assert tr._need_new_keyframe(s, frame_id=1000)
+
+
+def test_step_reorthonormalizes_defective_carry(small_cfg):
+    """Regression: a non-orthonormal defect in the carry's rotation block
+    (f32 drift from the velocity @ T_last composition) must NOT survive a
+    step — left uncorrected it compounds ~x2.4/frame into a screw-mode
+    divergence that collapses tracking after ~40 frames even on a STATIC
+    scene (reproduced at 640x480; fixed by a per-frame polar projection
+    of the final pose's rotation block in the device step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from manhattanslam_tpu.frontend import device_tracker as dt
+
+    seq = SyntheticSequence(n_frames=3, cam=small_cfg.camera, view="corner")
+    sys = System(small_cfg, fast=True, enable_surfels=False,
+                 enable_planes=False, enable_lines=False)
+    t, gray, depth = seq.frame(0)
+    sys.track(gray, depth, t)   # init keyframe
+    sys.track(gray, depth, t + 0.04)
+    tr = sys.tracker
+    T_true = np.asarray(sys.map.kf_pose[0])
+
+    # inject a pure scale defect (R <- 1.001 R): NOT a rotation, so the
+    # rigid retraction cannot remove it — only the polar projection can
+    carry = dict(tr.carry)
+    T_bad = jnp.asarray(T_true).at[:3, :3].multiply(1.001)
+    carry["T_last"] = T_bad
+    carry["velocity"] = jnp.eye(4, dtype=jnp.float32)
+    carry["have_velocity"] = jnp.array(True)
+    packed = jnp.asarray(dt.pack_frame(gray, depth))
+    r, c2 = tr.step(packed, carry, tr.view)
+
+    R = np.asarray(jax.device_get(r["T"]), np.float64)[:3, :3]
+    defect = np.abs(R.T @ R - np.eye(3)).max()
+    assert defect < 1e-5, f"rotation block left O(3) by {defect:.2e}"
+    # and chaining two more steps must not grow the pose error
+    r2, c3 = tr.step(packed, c2, tr.view)
+    r3, _ = tr.step(packed, c3, tr.view)
+    for rr in (r2, r3):
+        d = np.asarray(jax.device_get(rr["T"]), np.float64) @ np.linalg.inv(
+            T_true
+        )
+        assert np.linalg.norm(d[:3, 3]) < 5e-3

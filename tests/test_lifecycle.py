@@ -358,3 +358,95 @@ def test_surfel_window_reactivates_on_revisit(small_cfg):
     sel = valid & (attach == 0)
     assert sel.any()
     assert active[sel].all()
+
+
+def test_long_sequence_soak_keyframes_keep_flowing(small_cfg):
+    """Long-sequence soak of the keyframe lifecycle machinery (1000
+    frames, capacity churn, no device tracking): after the keyframe bank
+    saturates, culling/retirement keeps freeing slots and the capacity
+    gate KEEPS ALLOWING keyframes (the n_kf >= cap-1 gate bug silently
+    degraded long runs to localization-only), while the trajectory export
+    stays consistent through slot reuse and re-anchoring."""
+    import dataclasses
+
+    from manhattanslam_tpu.frontend.fast_tracking import FastTracker
+    from manhattanslam_tpu.geometry import se3 as se3m
+    from manhattanslam_tpu.slam_map import SlamMap
+
+    cfg = dataclasses.replace(
+        small_cfg,
+        caps=dataclasses.replace(small_cfg.caps, max_keyframes=10),
+        min_kf_frames=2,
+    )
+    m = SlamMap(cfg)
+    tr = FastTracker(cfg, m, enable_planes=False, enable_lines=False)
+    NKP = cfg.caps.max_keypoints
+    feats0 = {
+        "xy_und": np.zeros((NKP, 2), np.float32),
+        "u_right": np.full(NKP, -1, np.float32),
+        "depth": np.zeros(NKP, np.float32),
+        "level": np.zeros(NKP, np.int32),
+        "angle": np.zeros(NKP, np.float32),
+        "desc": np.zeros((NKP, 8), np.uint32),
+        "valid": np.zeros(NKP, bool),
+    }
+
+    def pose_at(i):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.01 * i, 0.0, 0.0]
+        return T
+
+    n_frames = 1000
+    tr.state = "OK"
+    tr.n_inliers = 20
+    gt_tw = []
+    kf_after_sat = 0
+    saturated_at = None
+    # initial keyframe (the real flow creates one at initialization)
+    kf0 = m.add_keyframe(pose_at(0), 0.0, 0, feats0)
+    m.set_kf_matches(kf0, np.full(NKP, -1, np.int64))
+    tr.ref_kf = kf0
+    for i in range(n_frames):
+        tr.frame_id = i
+        tr.T_cw = pose_at(i)
+        gt_tw.append(-tr.T_cw[:3, :3].T @ tr.T_cw[:3, 3])
+        s = {"tracked_close": 0, "nontracked_close": 100, "new_plane": False}
+        # the mapping backend's keyframe culling frees redundant slots on
+        # its own schedule — emulate it: once the bank is full, retire the
+        # oldest live keyframe (retire_keyframe fires the tracker's
+        # registered _on_kf_retired callback = trajectory re-anchoring)
+        if (cfg.caps.max_keyframes - m.n_kf) + len(m.kf_free) <= 1:
+            live = [
+                k for k in range(m.n_kf)
+                if m.kf_valid[k] and k != tr.ref_kf
+                and m.kf_parent[k] >= 0  # the root is never retired
+            ]
+            victim = min(live, key=lambda k: m.kf_time[k])
+            m.retire_keyframe(victim)
+            if saturated_at is None:
+                saturated_at = i
+        if i > 0 and tr._need_new_keyframe(s, frame_id=i):
+            kf = m.add_keyframe(tr.T_cw, float(i), i, feats0)
+            m.set_kf_matches(kf, np.full(NKP, -1, np.int64))
+            tr.ref_kf = kf
+            tr.last_kf_frame_id = i
+            tr._ref_matches = None
+            if saturated_at is not None:
+                kf_after_sat += 1
+        tr._record(float(i), lost=False)
+
+    assert saturated_at is not None, "bank never saturated"
+    assert kf_after_sat >= 50, (
+        f"only {kf_after_sat} keyframes after saturation — gate stuck"
+    )
+    # the gate keeps one slot in reserve, so steady state hovers at
+    # capacity or one below
+    assert m.n_kf >= cfg.caps.max_keyframes - 1
+    # trajectory export must reproduce every frame's world-frame camera
+    # center exactly despite hundreds of retire/re-anchor cycles
+    rows = tr.trajectory_rows()
+    assert len(rows) == n_frames
+    est = np.stack([r[1] for r in rows])
+    np.testing.assert_allclose(est, np.stack(gt_tw), atol=1e-3)
+    ts = [r[0] for r in rows]
+    assert all(b >= a for a, b in zip(ts, ts[1:]))

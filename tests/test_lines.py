@@ -134,3 +134,69 @@ def test_lift_lines_3d_rejects_depth_jump(rng):
     sp3, ep3 = np.asarray(out["sp3"])[0], np.asarray(out["ep3"])[0]
     if bool(out["ok"][0]):
         assert abs(sp3[2] - ep3[2]) < 0.2
+
+
+def _mah_dist_ref(pt, f, cu, cv, q1, q2):
+    """Direct NumPy port of the reference's SVD path: compPt3dCov
+    (3DLineExtractor.cpp:74-116) + mah_dist3d_pt_line (:264-296)."""
+    x, y, z = pt
+    J = np.array([[z / f, 0, x / z], [0, z / f, y / z], [0, 0, 1.0]])
+    sig = max(0.00273 * z * z + 0.00074 * z - 0.00058, 1e-4)
+    cov = J @ np.diag([1.0, 1.0, sig * sig]) @ J.T
+    U, W, _ = np.linalg.svd(cov)
+    DU = np.diag(1.0 / np.sqrt(W)) @ U.T  # = Sigma^{-1/2}
+    u = DU @ (pt - q1)
+    v = DU @ (pt - q2)
+    return np.linalg.norm(np.cross(u, v)) / np.linalg.norm(u - v)
+
+
+def test_mahalanobis_matches_reference_svd_path(rng):
+    """The closed-form triangular whitening (no SVD) must reproduce the
+    reference's SVD-decomposed Mahalanobis point-line distance, including
+    on grazing-angle lines where the covariance anisotropy dominates."""
+    f, cu, cv = 525.0, 319.5, 239.5
+    # grazing-angle 3D line: nearly along the viewing ray (depth varies
+    # 10x along it) plus random points around it
+    q1 = np.array([0.2, 0.1, 0.5])
+    q2 = np.array([0.6, 0.3, 5.0])
+    pts = np.stack(
+        [
+            q1 + t * (q2 - q1) + rng.normal(scale=0.05, size=3)
+            for t in np.linspace(0.0, 1.0, 16)
+        ]
+    ).astype(np.float64)
+    pts[:, 2] = np.clip(pts[:, 2], 0.3, None)
+    want = np.array([_mah_dist_ref(p, f, cu, cv, q1, q2) for p in pts])
+    fw = line_ops._whiten_factors(jnp.asarray(pts), jnp.float32(f))
+    got = np.sqrt(
+        np.asarray(
+            line_ops._mah_dist_sq(
+                jnp.asarray(pts), fw, jnp.asarray(q1), jnp.asarray(q2)
+            )
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3)
+
+
+def test_lift_lines_3d_grazing_angle():
+    # a wall plane x = 0.3 viewed nearly edge-on: depth along the
+    # horizontal scanline varies strongly; the anisotropic metric must
+    # still accept the (perfectly straight) lifted line
+    H, W = 120, 160
+    K = jnp.array([[100.0, 0, 80], [0, 100.0, 60], [0, 0, 1]])
+    us = np.arange(81, 160, dtype=np.float64)
+    depth = np.zeros((H, W), np.float32)
+    # z from x=0.3 plane: x3 = (u-cu)/f * z = 0.3 -> z = 0.3*f/(u-cu)
+    for u in us.astype(int):
+        depth[:, u] = 0.3 * 100.0 / (u - 80.0 + 0.5)
+    sp = jnp.array([[82.0, 60.0]])
+    ep = jnp.array([[158.0, 60.0]])
+    out = line_ops.lift_lines_3d(jnp.asarray(depth), K, sp, ep, jnp.array([True]))
+    assert bool(out["ok"][0])
+    sp3, ep3 = np.asarray(out["sp3"])[0], np.asarray(out["ep3"])[0]
+    # the samples lie exactly on the 3D line x = 0.3 - 0.005 z, y = 0
+    # (the half-pixel offset makes x linear in z, not constant)
+    np.testing.assert_allclose(sp3[0], 0.3 - 0.005 * sp3[2], atol=0.01)
+    np.testing.assert_allclose(ep3[0], 0.3 - 0.005 * ep3[2], atol=0.01)
+    # strong depth variation along the line actually exercised
+    assert abs(sp3[2] - ep3[2]) > 5.0

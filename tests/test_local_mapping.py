@@ -133,3 +133,89 @@ def test_tracking_unaffected_by_mapper(mapped, tmp_path):
         (np.array([r[0] for r in gt_rows]), np.array([r[1] for r in gt_rows])),
     )
     assert ate < 0.05
+
+
+def test_two_hop_bidirectional_fusion(small_cfg, rng):
+    """SearchInNeighbors parity (LocalMapping.cc:536-601): a duplicate
+    landmark observed only by a SECOND-degree covisibility neighbor must
+    still be merged when fusing the current keyframe."""
+    from manhattanslam_tpu.mapping.local_mapping import LocalMapper
+    from manhattanslam_tpu.slam_map import SlamMap
+
+    cfg = small_cfg
+    m = SlamMap(cfg)
+    mapper = LocalMapper(cfg, m)
+    cam = cfg.camera
+    Kc = np.asarray(cfg.camera.K)
+    NKP = cfg.caps.max_keypoints
+
+    # 40 world points in view of three cameras on a tiny baseline
+    pts = rng.uniform([-0.6, -0.4, 2.0], [0.6, 0.4, 3.0], (40, 3)).astype(
+        np.float32
+    )
+    descs = rng.integers(0, 2**32, (40, 8), dtype=np.uint32)
+    poses = []
+    for dx in (0.0, 0.05, 0.10):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = -dx
+        poses.append(T)
+
+    def feats_for(T):
+        pc = pts @ T[:3, :3].T + T[:3, 3]
+        uv = np.zeros((NKP, 2), np.float32)
+        uv[:40, 0] = pc[:, 0] / pc[:, 2] * Kc[0, 0] + Kc[0, 2]
+        uv[:40, 1] = pc[:, 1] / pc[:, 2] * Kc[1, 1] + Kc[1, 2]
+        d = np.zeros((NKP, 8), np.uint32)
+        d[:40] = descs
+        valid = np.zeros(NKP, bool)
+        valid[:40] = True
+        return {
+            "xy_und": uv,
+            "u_right": np.full(NKP, -1.0, np.float32),
+            "depth": np.zeros(NKP, np.float32),
+            "level": np.zeros(NKP, np.int32),
+            "angle": np.zeros(NKP, np.float32),
+            "desc": d,
+            "valid": valid,
+        }
+
+    kfs = [m.add_keyframe(poses[i], float(i), i, feats_for(poses[i]))
+           for i in range(3)]
+    A, B, C = kfs
+
+    ids_ab = m.add_points(
+        pts[:20], descs[:20], np.zeros((20, 3), np.float32),
+        np.full(20, 0.1, np.float32), np.full(20, 10.0, np.float32),
+        np.zeros(20, np.int32), A,
+    )
+    ids_bc = m.add_points(
+        pts[20:], descs[20:], np.zeros((20, 3), np.float32),
+        np.full(20, 0.1, np.float32), np.full(20, 10.0, np.float32),
+        np.zeros(20, np.int32), B,
+    )
+    # duplicates of the first 20 landmarks, observed ONLY by C
+    dup = m.add_points(
+        pts[:20], descs[:20], np.zeros((20, 3), np.float32),
+        np.full(20, 0.1, np.float32), np.full(20, 10.0, np.float32),
+        np.zeros(20, np.int32), C,
+    )
+
+    assoc = np.full((3, NKP), -1, np.int64)
+    assoc[0, :20] = ids_ab                 # A: originals
+    assoc[1, :20] = ids_ab                 # B: shares A's originals...
+    assoc[1, 20:40] = ids_bc               # ...and the B-C set
+    assoc[2, 20:40] = ids_bc               # C: shares with B
+    assoc[2, :20] = dup                    # ...plus the duplicates
+    for kf, a in zip(kfs, assoc):
+        m.set_kf_matches(kf, a)
+
+    # A and C share no landmarks: not first-order covisible
+    assert C not in set(int(k) for k in m.covisible_kfs(A))
+    assert B in set(int(k) for k in m.covisible_kfs(A))
+
+    mapper.fuse_neighbors(A)
+
+    # the duplicates (1 obs each) lost to the originals (2 obs each)
+    assert not m.mp_valid[dup].any(), "two-hop duplicates not merged"
+    # C now observes the original landmarks at those keypoints
+    np.testing.assert_array_equal(m.kf_mp_idx[C, :20], ids_ab)
