@@ -146,7 +146,7 @@ def main() -> int:
     # System.warmup() compiles the remaining event programs (keyframe
     # pulls, view update, mapping backend, relocalization pipeline)
     n_warm = 1 + 2 * chunk
-    n_timed = 4 * chunk
+    n_timed = 8 * chunk
     # median-of-5 timed windows: the dev host<->TPU tunnel is
     # contention-noisy (27-51 fps day-range on identical code), so the
     # MEDIAN is the headline and the min/max spread rides along — a
@@ -186,19 +186,22 @@ def main() -> int:
     slam.tracker.perf_n.clear()
     if slam.local_mapper is not None:
         slam.local_mapper.perf.clear()
-    fps_reps = []
-    host_ms = []
-    t_all0 = time.perf_counter()
+    # ONE continuous timed region with rep boundary marks: a flush per
+    # rep would drain the 2-chunk pipeline and pay full device latency
+    # inside every window (that artifact alone halved the measured fps);
+    # the single final flush's drain lands in the last window only.
+    marks = [time.perf_counter()]
     for rep in range(reps):
         lo = n_warm + rep * n_timed
-        t0 = time.perf_counter()
         for i in range(lo, lo + n_timed):
             t, gray, depth = frames[i]
             slam.track(gray, depth, t)
-        slam.tracker.flush()
-        dt_s = time.perf_counter() - t0
-        fps_reps.append(n_timed / dt_s)
-    t_all = time.perf_counter() - t_all0
+        marks.append(time.perf_counter())
+    slam.tracker.flush()
+    marks[-1] = time.perf_counter()
+    fps_reps = [n_timed / (b - a) for a, b in zip(marks, marks[1:])]
+    t_all = marks[-1] - marks[0]
+    print("WINDOW FPS:", [round(f, 2) for f in fps_reps], file=sys.stderr)
 
     jax.config.update("jax_log_compiles", False)
     logging.getLogger("jax._src.interpreters.pxla").removeHandler(counter)

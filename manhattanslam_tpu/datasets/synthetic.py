@@ -110,8 +110,13 @@ def render_frame(
     gray = np.zeros((H, W), np.float32)
     for fid, (ax, sign, coord, lo, hi) in enumerate(room.faces()):
         d_ax = dirs[..., ax]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = (coord - o[ax]) / d_ax
+        # rays parallel to the face (d_ax == 0) never hit it: send t to a
+        # large finite value instead of inf (inf * 0 in the point formula
+        # below makes NaNs that ride into u/v and the texture lookup)
+        safe = np.abs(d_ax) > 1e-12
+        t = np.where(
+            safe, (coord - o[ax]) / np.where(safe, d_ax, 1.0), 1e9
+        )
         # facing check: ray must travel against the face normal to see it
         facing = (d_ax * sign) < -1e-9
         pts = o[None, None, :] + t[..., None] * dirs

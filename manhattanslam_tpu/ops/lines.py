@@ -382,8 +382,14 @@ def lift_lines_3d(
     yi = jnp.clip(jnp.round(pos[..., 1]), 0, h - 1).astype(jnp.int32)
     z = depth[yi, xi]  # (L, S)
     good = z > 0
-    x3 = (pos[..., 0] - K[0, 2]) / K[0, 0] * z
-    y3 = (pos[..., 1] - K[1, 2]) / K[1, 1] * z
+    # back-project the ROUNDED pixel (the one whose depth was read), not
+    # the fractional sample position: mixing a fractional ray with the
+    # nearest pixel's depth puts samples off the true 3D line by up to
+    # half a pixel TIMES the per-column depth jump — meters of cross-track
+    # scatter on grazing-angle lines (the reference samples integer pixels
+    # along the segment, 3DLineExtractor.cpp:118-150)
+    x3 = (xi.astype(z.dtype) - K[0, 2]) / K[0, 0] * z
+    y3 = (yi.astype(z.dtype) - K[1, 2]) / K[1, 1] * z
     pts = jnp.stack([x3, y3, z], -1)  # (L, S, 3)
     fw = _whiten_factors(pts, K[0, 0])  # each (L, S)
 

@@ -7,10 +7,17 @@ single-device CPU.  Set MSLAM_TEST_TPU=1 to run on real hardware instead.
 
 import os
 
-# No persistent compilation cache under pytest: the cache write path can
-# abort the whole process on some hosts (seen as SIGSEGV/SIGABRT inside
-# JAX's put_executable_and_time), and CPU test programs compile fast.
-os.environ.setdefault("MSLAM_JAX_CACHE", "")
+# Persistent compilation cache under pytest: READ-ONLY.  Reads make
+# module-level recompiles (after the clear_caches hygiene below) cheap
+# loads; the WRITE path is disabled entirely because it can abort the
+# whole process on some hosts (deterministic SIGSEGV/SIGABRT inside
+# JAX's put_executable_and_time once many executables have accumulated).
+# Populate the cache outside pytest with tools/warm_test_cache.py; with
+# an empty/absent cache the suite still passes, just compiles more.
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault(
+    "MSLAM_JAX_CACHE", os.path.join(_repo, ".jax_cache_cpu")
+)
 
 if not os.environ.get("MSLAM_TEST_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -23,6 +30,15 @@ if not os.environ.get("MSLAM_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+# cache WRITES off (see the cache comment above): reads stay enabled.
+# MSLAM_CACHE_WRITES=1 re-enables writes — used by tools/warm_test_cache.py,
+# which populates the cache module-by-module in fresh processes (the write
+# crash needs hundreds of accumulated executables; short runs are safe).
+if not os.environ.get("MSLAM_CACHE_WRITES"):
+    from jax._src import compilation_cache as _cc  # noqa: E402
+
+    _cc.put_executable_and_time = lambda *a, **k: None
 
 import numpy as np
 import pytest
