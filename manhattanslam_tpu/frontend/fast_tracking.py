@@ -66,6 +66,22 @@ class FastTracker:
         self.pipeline_depth = 2 if (pipeline and self.chunk > 1) else 1
         self._pending = []  # [(meta, device result)] awaiting summary
         self._buf = []  # chunk mode: buffered (ts, fid, packed, gray, depth)
+        # chunk staging: frames are written into preallocated (C,H,W)
+        # buffers as they arrive (np.stack at dispatch cost ~17 ms/chunk on
+        # this 1-core host; a prealloc row-fill costs ~2.6 ms and spreads
+        # it across frame arrivals).  Ring of depth+1 buffer pairs so a
+        # buffer is never rewritten while its upload may still be staging.
+        if self.chunk > 1:
+            H, W = cfg.camera.height, cfg.camera.width
+            nbuf = self.pipeline_depth + 1
+            self._stage = [
+                (
+                    np.empty((self.chunk, H, W), np.uint8),
+                    np.empty((self.chunk, H, W), np.uint16),
+                )
+                for _ in range(nbuf)
+            ]
+            self._stage_i = 0
 
         # host-phase accounting (seconds + event counts per section):
         # the perf story of this system is host overhead between device
@@ -123,7 +139,7 @@ class FastTracker:
                 self._initialize(timestamp, (g8, d16))
                 self._record(timestamp, lost=False)
                 return self.T_cw.copy()
-            self._buf.append((timestamp, self.frame_id, g8, d16, gray, depth))
+            self._buf_append((timestamp, self.frame_id, g8, d16, gray, depth))
             if len(self._buf) < self.chunk:
                 return None
             return self._dispatch_chunk()
@@ -171,9 +187,11 @@ class FastTracker:
             metas = list(self._buf)
             self._buf = []
             n_real = len(metas)
-            pad = [metas[-1]] * (self.chunk - n_real)
-            g8s = np.stack([m[2] for m in metas + pad])
-            d16s = np.stack([m[3] for m in metas + pad])
+            g8s, d16s = self._stage[self._stage_i]
+            for j in range(n_real, self.chunk):
+                g8s[j] = metas[-1][2]
+                d16s[j] = metas[-1][3]
+            self._stage_i = (self._stage_i + 1) % len(self._stage)
             results, new_carry = self.chunk_step(
                 jnp.asarray(g8s), jnp.asarray(d16s), self.carry, self.view
             )
@@ -203,14 +221,25 @@ class FastTracker:
         return cm()
 
     # ------------------------------------------------------------ chunk mode
+    def _buf_append(self, meta) -> None:
+        """Buffer one frame: write its native planes into the current
+        staging pair (row = position in the chunk) and keep the meta."""
+        g8s, d16s = self._stage[self._stage_i]
+        i = len(self._buf)
+        g8s[i] = meta[2]
+        d16s[i] = meta[3]
+        self._buf.append(meta)
+
     def _dispatch_chunk(self):
         metas = self._buf
         self._buf = []
         with self._timed("chunk_dispatch"):
-            g8s = jnp.asarray(np.stack([m[2] for m in metas]))
-            d16s = jnp.asarray(np.stack([m[3] for m in metas]))
+            g8s, d16s = self._stage[self._stage_i]
+            # rotate the ring: this pair must not be rewritten while its
+            # upload may still be staging (depth+1 pairs in the ring)
+            self._stage_i = (self._stage_i + 1) % len(self._stage)
             results, new_carry = self.chunk_step(
-                g8s, d16s, self.carry, self.view
+                jnp.asarray(g8s), jnp.asarray(d16s), self.carry, self.view
             )
             # prime the summary transfer NOW: the device queue is in-order,
             # so a copy enqueued here rides directly behind this chunk's
@@ -275,7 +304,7 @@ class FastTracker:
         and complete with the next track()/flush()."""
         out = None
         for meta in metas:
-            self._buf.append(meta)
+            self._buf_append(meta)
             if len(self._buf) >= self.chunk:
                 pose = self._dispatch_chunk()
                 out = pose if pose is not None else out
