@@ -146,6 +146,65 @@ def render_frame(
     return gray, depth
 
 
+def _flat_texture(amp: float = 6.0, end_face: int = 5, end_amp: float = 45.0):
+    """Texture factory for the LOW-TEXTURE corridor proof.
+
+    Side walls / floor / ceiling get a per-face base gray plus coarse
+    noise of amplitude `amp` — deliberately BELOW the FAST fallback
+    threshold (minThFAST=7, ORBextractor.cc:763-769 semantics), so ORB
+    starves there and only the junction shading edges remain.  The far
+    end wall (`end_face`) keeps a moderate texture (a corridor's door /
+    poster): those corners are FAR points, which constrain rotation but
+    barely constrain the along-corridor translation — the regime where
+    the reference leans on planes + Manhattan (Tracking.cc:846-944).
+    """
+
+    def fn(u, v, face_id, seed):
+        s = face_id * 7919 + seed
+        base = 95.0 + 18.0 * ((face_id * 37) % 5)
+        if face_id == end_face:
+            iu = np.floor(u * 3.0).astype(np.int64)
+            iv = np.floor(v * 3.0).astype(np.int64)
+            return np.clip(base + end_amp * _hash_noise(iu, iv, s), 0, 255)
+        iu = np.floor(u * 0.7).astype(np.int64)
+        iv = np.floor(v * 0.7).astype(np.int64)
+        return np.clip(base + amp * _hash_noise(iu, iv, s), 0, 255)
+
+    return fn
+
+
+def corridor_room(length: float = 10.0) -> BoxRoom:
+    """Blank-walled corridor: 3.2 m wide, 2.6 m tall, `length` m deep,
+    no inner boxes — the plane/Manhattan path must carry the pose."""
+    return BoxRoom(size=(3.2, 2.6, length), boxes=[],
+                   texture_fn=_flat_texture())
+
+
+def corridor_poses(
+    n: int, room: BoxRoom, z0: float = 1.5, z1: float = 6.0,
+    sway: float = 0.04,
+) -> np.ndarray:
+    """n poses advancing down the corridor axis (+z) with small lateral
+    sway and yaw — the TAMU-corridor analog (BASELINE config 4)."""
+    sx, sy, _sz = room.size
+    poses = []
+    for i in range(n):
+        f = i / max(n - 1, 1)
+        a = np.sin(2 * np.pi * f * 1.5)
+        pos = np.array(
+            [sx / 2 + sway * a, sy / 2 + 0.02 * np.sin(3 * a), z0 + (z1 - z0) * f],
+            np.float32,
+        )
+        yaw = 0.03 * a
+        cy, sy_ = np.cos(yaw), np.sin(yaw)
+        R = np.array([[cy, 0, sy_], [0, 1, 0], [-sy_, 0, cy]], np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = pos
+        poses.append(T)
+    return np.stack(poses)
+
+
 def orbit_poses(n: int, room: BoxRoom, radius: float = 1.0) -> np.ndarray:
     """n camera-to-world poses: gentle arc inside the room looking at +z wall."""
     sx, sy, sz = room.size
@@ -160,6 +219,38 @@ def orbit_poses(n: int, room: BoxRoom, radius: float = 1.0) -> np.ndarray:
         T = np.eye(4, dtype=np.float32)
         T[:3, :3] = R
         T[:3, 3] = pos
+        poses.append(T)
+    return np.stack(poses)
+
+
+def walk_poses(
+    n: int, room: BoxRoom, radius_frac: float = 0.5, speed: float = 0.02,
+) -> np.ndarray:
+    """n poses walking an interior ellipse at ~`speed` m/frame, gazing
+    outward at the walls: a TUM-fr3-like sweep whose continuous viewpoint
+    change forces a realistic keyframe cadence (~1 KF / 20-30 frames at
+    640x480 defaults) — the regime the reference's always-on LocalMapping
+    + SurfelMapping threads live in (System.cc:90-107)."""
+    sx, sy, sz = room.size
+    cx, cz = sx / 2, sz / 2
+    rx, rz = radius_frac * sx / 2, radius_frac * sz / 2
+    circumference = np.pi * (3 * (rx + rz) - np.sqrt((3 * rx + rz) * (rx + 3 * rz)))
+    total_angle = 2 * np.pi * (n * speed) / max(circumference, 1e-6)
+    poses = []
+    for i in range(n):
+        a = total_angle * i / max(n - 1, 1)
+        pos = np.array(
+            [cx + rx * np.sin(a), sy / 2 + 0.05 * np.sin(3 * a),
+             cz + rz * np.cos(a)],
+            np.float32,
+        )
+        gaze = np.array([np.sin(a), 0.0, np.cos(a)], np.float32)  # outward
+        z = gaze / np.linalg.norm(gaze)
+        x = np.cross(np.array([0.0, 1.0, 0.0], np.float32), z)
+        x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = x, y, z, pos
         poses.append(T)
     return np.stack(poses)
 
@@ -197,17 +288,22 @@ class SyntheticSequence:
         room: BoxRoom | None = None,
         depth_noise: float = 0.0,
         seed: int = 0,
-        view: str = "wall",  # "wall" (orbit_poses) or "corner" (corner_poses)
+        view: str = "wall",  # "wall" | "corner" | "corridor" (low-texture)
     ):
         self.cam = cam or CameraConfig(
             fx=525.0, fy=525.0, cx=319.5, cy=239.5, k1=0, k2=0, p1=0, p2=0, k3=0
         )
+        if view == "corridor" and room is None:
+            room = corridor_room()
         self.room = room or BoxRoom()
-        self.poses = (
-            corner_poses(n_frames, self.room)
-            if view == "corner"
-            else orbit_poses(n_frames, self.room)
-        )  # ground-truth Twc
+        if view == "corner":
+            self.poses = corner_poses(n_frames, self.room)
+        elif view == "corridor":
+            self.poses = corridor_poses(n_frames, self.room)
+        elif view == "walk":
+            self.poses = walk_poses(n_frames, self.room)
+        else:
+            self.poses = orbit_poses(n_frames, self.room)  # ground-truth Twc
         self.depth_noise = depth_noise
         self.rng = np.random.default_rng(seed)
         self.fps = 30.0

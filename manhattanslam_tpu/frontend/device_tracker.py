@@ -727,14 +727,18 @@ def build_frame_body(
         T_init = jnp.where(ok_ab, out_ab["T"], outs["T"][1])
         init_ok = ok_ab | ok_c
 
-        # --- planes at the refined pose ---
+        # --- planes, associated at the MOTION-MODEL SEED pose: the
+        # reference runs SearchMapByCoefficients before any point solve
+        # (Tracking.cc:253) — in point-starved scenes the seed's
+        # extrapolation error (<1 cm at constant motion) is far below the
+        # point-solve's z noise, so the 5 cm association gate holds ---
         if enable_planes:
             planes = plane_ops.extract_planes_device(
                 depth, K, P, cfg.caps.max_plane_points, grid_shape,
                 min_support, jnp.float32(pc.distance_threshold),
             )
             assoc, par, ver = associate_planes_device(
-                planes["coeffs"], planes["valid"], T_init, view,
+                planes["coeffs"], planes["valid"], T_seed, view,
                 jnp.float32(pc.association_ang_ref),
                 jnp.float32(pc.association_dis_ref),
                 jnp.float32(pc.vertical_threshold),
@@ -801,7 +805,10 @@ def build_frame_body(
                 translation_only=True, n_rounds=2, n_iters=4,
                 gauss_newton=True, use_planes=True,
             )
-            ok_t = out_t["n_pt_inliers"] >= 10
+            # nmatchesMap >= 7 (TranslationEstimation, Tracking.cc:941):
+            # the paper's low-texture contribution is precisely that the
+            # Manhattan translation path survives on very few points
+            ok_t = out_t["n_pt_inliers"] >= 7
 
             # motion-model translation failed with a Manhattan rotation in
             # hand: the reference retries against the reference keyframe by
@@ -823,7 +830,7 @@ def build_frame_body(
                 lambda _: {"T": T_manh, "n": jnp.int32(0)},
                 operand=None,
             )
-            use_manh = man_found & (ok_t | (out_t2["n"] >= 10))
+            use_manh = man_found & (ok_t | (out_t2["n"] >= 7))
             T_mid = jnp.where(
                 use_manh, jnp.where(ok_t, out_t["T"], out_t2["T"]), T_init
             )
@@ -850,8 +857,26 @@ def build_frame_body(
         T_final = T_final.at[:3, :3].set(
             se3.polar_rotation(T_final[:3, :3], iters=2)
         )
-        n_inl = out_f["n_pt_inliers"]
-        tracked_ok = init_ok & (n_inl >= 30)
+        # success gate: the reference's TrackLocalMap verdict counts
+        # points + lines + planes together and passes at >= 7
+        # (Tracking.cc:1423-1429) — NOT ORB-SLAM2's 30 points.  That
+        # leniency IS the low-texture story: planes/lines carry frames
+        # where ORB starves.  A solve is only reachable if one of the
+        # candidate paths produced a usable init (init_ok) or the
+        # Manhattan translation path did (use_manh, Tracking.cc:257-293).
+        n_pt_f = out_f["n_pt_inliers"]
+        n_ln_f = (
+            jnp.sum(
+                out_f["inlier_ln"].reshape(-1, 2).any(-1)
+            ).astype(jnp.int32)
+            if enable_lines else jnp.int32(0)
+        )
+        n_pl_f = (
+            jnp.sum(out_f["inlier_pl"]).astype(jnp.int32)
+            if enable_planes else jnp.int32(0)
+        )
+        n_inl = (n_pt_f + n_ln_f + n_pl_f).astype(jnp.int32)
+        tracked_ok = (init_ok | use_manh) & (n_pt_f >= 7) & (n_inl >= 7)
 
         # keyframe-policy quantities (device side); kp_mp maps keypoint ->
         # matched map-point id.  Matches to the temporal VO block (bank

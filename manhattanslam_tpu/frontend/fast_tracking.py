@@ -82,6 +82,19 @@ class FastTracker:
                 for _ in range(nbuf)
             ]
             self._stage_i = 0
+            # dedicated puller thread: the chunk-summary device_get blocks
+            # (in C, GIL released) until the chunk's compute + D2H finish
+            # on the in-order tunnel queue.  Submitting the pull HERE and
+            # collecting it two chunks later overlaps that wait with the
+            # next chunks' staging/dispatch on the main thread — the r4
+            # bench showed ~80% of the timed wall inside the blocking pull.
+            import concurrent.futures
+
+            self._pull_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="mslam-pull"
+            )
+        else:
+            self._pull_pool = None
 
         # host-phase accounting (seconds + event counts per section):
         # the perf story of this system is host overhead between device
@@ -254,19 +267,28 @@ class FastTracker:
         self.last_result = results
         if self.pipeline:
             out = None
-            self._pending.append((metas, results))
+            # hand the blocking wait to the puller thread NOW; collected
+            # two chunks later, by which point the bytes are host-side
+            fut = self._pull_pool.submit(
+                dt.pull_chunk_summary, results,
+                self.cfg.caps.max_map_points, self.cfg.caps.max_map_lines,
+            )
+            self._pending.append((metas, results, fut))
             if len(self._pending) >= self.pipeline_depth + 1:
                 out = self._process_chunk(*self._pending.pop(0))
             return out
         return self._process_chunk(metas, results)
 
-    def _process_chunk(self, metas, results):
+    def _process_chunk(self, metas, results, fut=None):
         # ONE transfer: per-frame cores + chunk-accumulated landmark stats
         with self._timed("summary_pull"):
-            cores, stats = dt.pull_chunk_summary(
-                results, self.cfg.caps.max_map_points,
-                self.cfg.caps.max_map_lines,
-            )
+            if fut is not None:
+                cores, stats = fut.result()
+            else:
+                cores, stats = dt.pull_chunk_summary(
+                    results, self.cfg.caps.max_map_points,
+                    self.cfg.caps.max_map_lines,
+                )
         # landmark found/visible counts were accumulated on device over
         # the chunk (tracked_ok-gated); applied once per chunk — the same
         # latency class as the reference's asynchronous LocalMapping
@@ -289,7 +311,7 @@ class FastTracker:
                 # (Tracking.cc:410).
                 self._chunk_restart = False
                 stale = list(metas[i + 1 :])
-                for ms, _r in self._pending:
+                for ms, *_rest in self._pending:
                     stale.extend(ms)
                 self._pending = []
                 pose2 = self._replay_frames(stale)
@@ -320,6 +342,11 @@ class FastTracker:
             frame_id = self.frame_id
 
         ok = bool(s["tracked_ok"])
+        # stricter right after a relocalization (Tracking.cc:1423-1425):
+        # the device gate is the lenient points+lines+planes >= 7; within
+        # one fps-window of a reloc the reference demands >= 20
+        if ok and frame_id < self.last_reloc_frame_id + self.max_frames:
+            ok = int(s.get("n_inliers", 0)) >= 20
         self.frame_log.append(
             (int(frame_id), int(s.get("n_inliers", -1)), ok,
              self._ref_matches if self._ref_matches is not None else -1,
@@ -356,6 +383,12 @@ class FastTracker:
         self.T_cw = s["T"].astype(np.float32)
         self.velocity = None  # velocity lives in the device carry
         self.n_inliers = int(s["n_inliers"])
+        self.n_ok_frames += 1
+        # Manhattan-path usage telemetry (Tracking.cc:257-275 branch):
+        # the low-texture proof and the bench report what fraction of
+        # frames the decoupled rotation + translation-only solve carried
+        if bool(s.get("use_manhattan", False)):
+            self.n_manhattan_frames += 1
 
         chunk_core = "kp_mp" not in s  # chunk-mode core summary
         if not chunk_core:
@@ -460,6 +493,8 @@ class FastTracker:
         return decision
 
     force_keyframe = False
+    n_ok_frames = 0
+    n_manhattan_frames = 0
     _new_plane_streak = 0
     _ref_matches = None  # cache; None = recompute (map/ref-KF changed)
     _ref_total = 0

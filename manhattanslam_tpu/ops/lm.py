@@ -564,8 +564,14 @@ def solve_pose(
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
             return (T, jnp.clip(lam, 1e-8, 1e6)), None
 
-        def point_system(T):
-            """H, g, cost of the point+line rows at T (closed-form J)."""
+        def full_system(T):
+            """H, g, cost at T from ONE concatenated weighted row block.
+
+            Per-family einsums left ~9-12 small reduce fusions per LM
+            iteration on the device profile (the micro-op tail IS the
+            device time at these sizes); stacking every weighted row into
+            a single (R, dof) matrix folds them into one JtJ matmul + one
+            Jtr matvec + one dot."""
             rs = _residuals(T, prob, K, bf, use_planes=False,
                             use_lines=use_lines)
             r_pt, r_ln = rs[0], rs[1]
@@ -576,44 +582,27 @@ def solve_pose(
             Jp, Jl = _point_jacobians(
                 T, prob, K, bf, translation_only, use_lines=use_lines
             )
-
-            def acc(Jf, rf, wf):
-                Jw = Jf * wf[:, None, None]
-                rw = rf * wf[:, None]
-                Hf = jnp.einsum("nrd,nre->de", Jw, Jw)
-                gf = jnp.einsum("nrd,nr->d", Jw, rw)
-                cf = jnp.sum(rw * rw)
-                return Hf, gf, cf
-
-            H, g, cost = acc(Jp, r_pt, w_pt)
+            rows_J = [(Jp * w_pt[:, None, None]).reshape(-1, dof)]
+            rows_r = [(r_pt * w_pt[:, None]).ravel()]
             if use_lines:
                 chi_ln = (r_ln[:, 0] ** 2) * prob.ln_info
                 w_ln = _huber_w(chi_ln, CHI2_STEREO, m_ln, huber_on) * jnp.sqrt(
                     prob.ln_info
                 )
-                Hl, gl, cl = acc(Jl, r_ln, w_ln)
-                H, g, cost = H + Hl, g + gl, cost + cl
-            return H, g, 0.5 * cost
-
-        def plane_system(T):
-            """H, g, cost of the plane families at T (one linearize of the
-            raw rows; weights applied as row scales)."""
-            rp_raw, jvp_p = jax.linearize(
-                lambda xi: _plane_rows_raw(retract(T, xi), prob, pmasks),
-                jnp.zeros((dof,), T.dtype),
-            )
-            Jp_raw = jax.vmap(jvp_p)(jnp.eye(dof, dtype=T.dtype)).T  # (R, dof)
-            s = _plane_row_scales(rp_raw, prob, params, pmasks, huber_on)
-            rw = rp_raw * s
-            Jw = Jp_raw * s[:, None]
-            return Jw.T @ Jw, Jw.T @ rw, 0.5 * jnp.sum(rw * rw)
-
-        def full_system(T):
-            H, g, c = point_system(T)
+                rows_J.append((Jl * w_ln[:, None, None]).reshape(-1, dof))
+                rows_r.append((r_ln * w_ln[:, None]).ravel())
             if use_planes:
-                Hq, gq, cq = plane_system(T)
-                H, g, c = H + Hq, g + gq, c + cq
-            return H, g, c
+                rp_raw, jvp_p = jax.linearize(
+                    lambda xi: _plane_rows_raw(retract(T, xi), prob, pmasks),
+                    jnp.zeros((dof,), T.dtype),
+                )
+                Jq = jax.vmap(jvp_p)(jnp.eye(dof, dtype=T.dtype)).T  # (R, dof)
+                s = _plane_row_scales(rp_raw, prob, params, pmasks, huber_on)
+                rows_J.append(Jq * s[:, None])
+                rows_r.append(rp_raw * s)
+            J = jnp.concatenate(rows_J)
+            r = jnp.concatenate(rows_r)
+            return J.T @ J, J.T @ r, 0.5 * jnp.sum(r * r)
 
         def cost_only(T):
             """IRLS cost at T without the Jacobian work (used once per

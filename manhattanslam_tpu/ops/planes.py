@@ -136,13 +136,12 @@ def block_stats(points: jnp.ndarray, block: int = BLOCK) -> dict:
     }
 
 
-@partial(jax.jit, static_argnames=("grid_shape", "n_iters", "angle_cos"))
+@partial(jax.jit, static_argnames=("grid_shape", "angle_cos"))
 def merge_blocks_device(
     stats: dict,
     grid_shape: tuple[int, int],
     min_support: jnp.ndarray,
     angle_cos: float | None = None,
-    n_iters: int = 64,
 ):
     """Device-side block merging by min-label propagation.
 
@@ -199,12 +198,28 @@ def merge_blocks_device(
         valid, jnp.arange(B, dtype=jnp.int32).reshape(bh, bw), jnp.int32(B)
     )
 
-    def body(_, lab):
+    def local(lab):
         for (dy, dx), ok in oks.items():
             lab = jnp.where(ok, jnp.minimum(lab, shift(lab, dy, dx)), lab)
         return lab
 
-    lab = jax.lax.fori_loop(0, n_iters, body, init)
+    def jump(lab):
+        # pointer-jumping (path doubling): lab[i] <- lab[lab[i]].  Labels
+        # only shrink along already-established chains, so this never
+        # crosses a forbidden edge; it squares the propagation distance,
+        # turning the O(diameter) fixpoint (64 sequential sweeps) into
+        # O(log B) rounds — the dominant sequential depth of the plane
+        # stage on the profile.
+        flat = lab.ravel()
+        ext = jnp.concatenate([flat, jnp.full((1,), B, jnp.int32)])
+        return ext[flat].reshape(bh, bw)
+
+    # ceil(log2(B)) rounds of (local step + jump) reach any component
+    # shape: after r rounds the effective propagation distance is >= 2^r
+    rounds = max(int(np.ceil(np.log2(max(B, 2)))) + 1, 6)
+    lab = init
+    for _ in range(rounds):  # static unroll: tiny (bh, bw) arrays fuse
+        lab = jump(local(lab))
     lab = jnp.where(valid, lab, -1).reshape(-1)
 
     # support per root; drop small segments
@@ -500,6 +515,17 @@ def plane_stage2(
         interior_img_s[: min(bh * block, h), : min(bw * block, w)]
     )
     seed_lab = jnp.where(interior_img & finite, lab_full, -1)
+    # thin segments (1 block wide — distant walls, grazing floor bands)
+    # have NO interior blocks: erosion would empty their seed set and
+    # silently drop the plane.  PEAC keeps them because its hypotheses
+    # come from the MERGED block moments, not the eroded pixels
+    # (AHCPlaneFitter.hpp refineDetails seeds rfQueue per segment); the
+    # analog here is falling back to the full membership as the seed.
+    has_interior = jnp.zeros(P, bool).at[
+        jnp.where(seed_lab >= 0, seed_lab, P)
+    ].set(True, mode="drop")
+    thin = ~has_interior[jnp.clip(lab_full, 0, P - 1)] & (lab_full >= 0)
+    seed_lab = jnp.where(thin & finite, lab_full, seed_lab)
 
     # plane hypotheses from the eroded cores
     nrm, d, n_seed, mse = fit(seed_lab)

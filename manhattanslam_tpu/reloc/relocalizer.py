@@ -6,12 +6,17 @@ inverted file, KeyFrameDatabase.cc:68-170) and EPnP relocalizer
 
 - Vocabulary: the shipped ORB vocabulary file is absent from the
   reference checkout (SURVEY.md headline facts), and a k-d word tree is a
-  poor fit for the MXU anyway.  We use LSH signatures instead: descriptors
-  project onto W random hyperplanes (one matmul), giving a word id per
-  keypoint; each keyframe stores an L1-normalized word histogram.
-  Candidate scoring = one (1, W) x (W, KF) matmul — the same
+  poor fit for the MXU anyway.  We use multi-bank LSH signatures instead:
+  descriptors project onto B banks x K random hyperplanes (one matmul),
+  giving B independent word ids per keypoint; each keyframe stores B
+  L1-normalized word histograms.  Candidate scoring = IDF-weighted dot
+  product summed over banks — one (1, B*W) x (B*W, KF) matmul — the same
   "share-enough-words then score" shape as DetectRelocalizationCandidates,
-  including the covisibility-accumulated >= 0.75 * best gate.
+  including the covisibility-accumulated >= 0.75 * best gate.  Multiple
+  independent banks + IDF down-weighting of common words recover the
+  discrimination a single small vocabulary loses on self-similar indoor
+  texture (measured: top-5 recall 62% -> >=90% at 208 keyframes,
+  tests/test_reloc_stress.py).
 - Pose recovery: descriptor matching (NN ratio 0.75, TH_LOW) against each
   candidate's map points, then 3D-3D Kabsch RANSAC (ops/ransac_pose.py)
   and the full LM pose refine, accepting at >= 50 inliers like the
@@ -31,8 +36,9 @@ from manhattanslam_tpu.ops import lm, matching, ransac_pose
 from manhattanslam_tpu.ops.orb import unpack_descriptor_bits
 from manhattanslam_tpu.slam_map import SlamMap
 
-N_WORDS = 1024  # LSH words (10 hyperplane bits)
-N_BITS = 10
+N_BITS = 12  # hyperplane bits per bank
+N_WORDS = 1 << N_BITS  # 4096 words per bank
+N_BANKS = 4  # independent LSH banks (variance reduction)
 
 
 class Relocalizer:
@@ -42,9 +48,11 @@ class Relocalizer:
         rng = np.random.default_rng(1234)
         # random hyperplanes over the 256-bit descriptor space
         self.planes = jnp.asarray(
-            rng.normal(size=(256, N_BITS)).astype(np.float32)
+            rng.normal(size=(256, N_BANKS * N_BITS)).astype(np.float32)
         )
-        self.kf_bow = np.zeros((cfg.caps.max_keyframes, N_WORDS), np.float32)
+        self.kf_bow = np.zeros(
+            (cfg.caps.max_keyframes, N_BANKS * N_WORDS), np.float32
+        )
         self.params = lm.default_params(cfg)
         self.K = jnp.asarray(cfg.camera.K)
         self.bf = jnp.float32(cfg.camera.bf)
@@ -58,18 +66,19 @@ class Relocalizer:
 
     # ----------------------------------------------------------------- BoW
     def compute_bow(self, desc: jnp.ndarray, valid: jnp.ndarray) -> np.ndarray:
-        """L1-normalized LSH word histogram of a descriptor set."""
+        """Concatenated L1-normalized word histograms, one per LSH bank."""
         bits = 2.0 * unpack_descriptor_bits(desc) - 1.0  # (N, 256)
-        proj = bits @ self.planes  # (N, B)
+        proj = (bits @ self.planes).reshape(-1, N_BANKS, N_BITS)
         words = jnp.sum(
             (proj > 0).astype(jnp.int32)
-            * (2 ** jnp.arange(N_BITS, dtype=jnp.int32))[None],
+            * (2 ** jnp.arange(N_BITS, dtype=jnp.int32))[None, None],
             -1,
-        )
+        )  # (N, BANKS)
+        flat = words + N_WORDS * jnp.arange(N_BANKS, dtype=jnp.int32)[None]
         hist = (
-            jnp.zeros(N_WORDS, jnp.float32)
-            .at[words]
-            .add(valid.astype(jnp.float32))
+            jnp.zeros(N_BANKS * N_WORDS, jnp.float32)
+            .at[flat.ravel()]
+            .add(jnp.repeat(valid.astype(jnp.float32), N_BANKS))
         )
         return np.asarray(hist / jnp.sum(hist).clip(1e-9))
 
@@ -85,7 +94,20 @@ class Relocalizer:
         if m.n_kf == 0:
             return []
         q = self.compute_bow(feats["desc"], feats["valid"])
-        scores = self.kf_bow[: m.n_kf] @ q  # similarity per KF
+        # IDF: common words (floor/wall texture words that appear in most
+        # keyframes) carry no place information — the DBoW2 vocabulary
+        # encodes this in its word weights; here it is recomputed from the
+        # live database (cheap: one boolean reduce over the histograms)
+        kfb = self.kf_bow[: m.n_kf]
+        n_valid = max(int(m.kf_valid[: m.n_kf].sum()), 1)
+        df = (kfb > 0).astype(np.float32).T @ m.kf_valid[: m.n_kf].astype(
+            np.float32
+        )
+        # smoothed so a word present in EVERY keyframe still scores > 0
+        # (a tiny/degenerate database must fall back to plain TF, not
+        # return no candidates)
+        idf = np.log1p(n_valid / (1.0 + df)).astype(np.float32)
+        scores = kfb @ (q * idf * idf)  # IDF on both sides, folded
         scores = scores * m.kf_valid[: m.n_kf]
         if scores.max() <= 0:
             return []
