@@ -323,6 +323,12 @@ def main() -> int:
             for k, v in sorted(slam2.local_mapper.perf.items())
         }
         print("MAPPING MAPPER-STAGE ms:", json.dumps(mp2), file=sys.stderr)
+    hp2 = {
+        k: [round(1e3 * slam2.tracker.perf[k], 1), slam2.tracker.perf_n[k]]
+        for k in sorted(slam2.tracker.perf)
+    }
+    print("MAPPING HOST-PHASE ms [total, n]:", json.dumps(hp2),
+          file=sys.stderr)
 
     fps = float(np.median(fps_reps))
     wall_ms = 1e3 / fps

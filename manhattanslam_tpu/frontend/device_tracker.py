@@ -620,9 +620,17 @@ def build_frame_body(
             -1,
         )
         vo_pos = vo_cam @ T_last_wc[:3, :3].T + T_last_wc[:3, 3]
+        # the temporal block only engages when MAP coverage starved on the
+        # previous frame (carry scalar): with the map healthy, hundreds of
+        # VO rows would outvote the map in the solve and turn tracking
+        # into pure odometry (~1 mm/frame drift); when the map starves
+        # (exploration ahead of keyframe insertion, low texture), they
+        # bridge the gap.  Mirrors the reference's temporal-VO activation
+        # (UpdateLastFrame + mbVO, Tracking.cc:1052-1144, :374-402).
+        vo_on = carry["map_inl_last"] < jnp.int32(30)
         vo_valid = (
             carry["prev_valid"] & (pd > 0) & carry["have_velocity"]
-            & carry["vo_points"]
+            & carry["vo_points"] & vo_on
         )
         cam_prev = T_last_wc[:3, 3]
         vo_dir = vo_pos - cam_prev[None]
@@ -884,6 +892,14 @@ def build_frame_body(
         # associations.
         kp_mp_ext = out_f["kp_mp"]
         kp_mp = jnp.where(kp_mp_ext >= n_map, -1, kp_mp_ext)
+        # map-only inlier count for the keyframe policy: with the temporal
+        # VO bank active in SLAM mode (the chunk pipeline's intra-chunk
+        # anchor), total inliers stay high even when MAP coverage starves —
+        # the host must see the map-match decay to mint keyframes in time
+        # (TrackedMapPoints vs mnMatchesInliers, Tracking.cc:1447-1480)
+        n_map_inliers = (
+            jnp.sum(kp_mp >= 0).astype(jnp.int32) + n_ln_f + n_pl_f
+        )
         close = feats["valid"] & (feats["depth"] > 0) & (feats["depth"] < close_th)
         kp_matched = kp_mp >= 0
         tracked_close = jnp.sum(close & kp_matched)
@@ -895,6 +911,9 @@ def build_frame_body(
             "velocity": jnp.where(tracked_ok, new_velocity, carry["velocity"]),
             "have_velocity": tracked_ok,
             "vo_points": carry["vo_points"],
+            "map_inl_last": jnp.where(
+                tracked_ok, n_map_inliers, jnp.int32(0)
+            ),
             # next frame's temporal landmarks
             "prev_xy_und": feats["xy_und"],
             "prev_depth": feats["depth"],
@@ -908,6 +927,7 @@ def build_frame_body(
             "T": T_final,
             "tracked_ok": tracked_ok,
             "n_inliers": n_inl,
+            "n_map_inliers": n_map_inliers,
             "n_matches": out_f["n_matches"],
             "tracked_close": tracked_close,
             "nontracked_close": nontracked_close,
@@ -1119,14 +1139,17 @@ def init_carry(
             "T_last": jnp.asarray(T0) if T0 is not None else jnp.eye(4, dtype=jnp.float32),
             "velocity": jnp.eye(4, dtype=jnp.float32),
             "have_velocity": jnp.array(False),
-            # temporal VO pseudo-landmarks are a LOCALIZATION-MODE device
-            # (UpdateLastFrame, Tracking.cc:1052-1144).  In SLAM mode the
-            # reference anchors the motion-model solve to MAP points only:
-            # back-projected last-frame points inherit the last pose's
-            # error, and with the velocity extrapolation in the loop that
-            # feedback diverges exponentially (~x2.4/frame measured on a
-            # static scene).
+            # temporal VO pseudo-landmarks (UpdateLastFrame,
+            # Tracking.cc:1052-1144).  The reference uses them in
+            # localization mode; under chunked dispatch the SLAM-mode
+            # tracker needs them too, to bridge map starvation while
+            # keyframe insertion lags by up to 2 chunks.  They engage ONLY
+            # while map coverage is starved (map_inl_last < 30 in the step
+            # body): left always-on, hundreds of VO rows outvote the map
+            # and tracking degrades to pure odometry (~1 mm/frame drift).
             "vo_points": jnp.array(bool(vo_points)),
+            # map inliers of the previous frame (gates the VO block)
+            "map_inl_last": jnp.int32(0),
             "prev_xy_und": jnp.zeros((n_kp, 2)),
             "prev_depth": jnp.zeros(n_kp),
             "prev_desc": jnp.zeros((n_kp, 8), jnp.uint32),
@@ -1138,7 +1161,8 @@ def init_carry(
 
 
 SUMMARY_KEYS = (
-    "T", "tracked_ok", "n_inliers", "n_matches", "tracked_close",
+    "T", "tracked_ok", "n_inliers", "n_map_inliers", "n_matches",
+    "tracked_close",
     "nontracked_close", "manhattan_found", "use_manhattan", "new_plane",
     "kp_mp", "plane_assoc", "plane_valid", "line_assoc",
 )
@@ -1146,7 +1170,8 @@ SUMMARY_KEYS = (
 # chunk-mode split: CORE rides in the per-chunk pull for every frame;
 # KFX (keyframe extras) are fetched only for frames promoted to keyframes
 CORE_KEYS = (
-    "T", "tracked_ok", "n_inliers", "n_matches", "tracked_close",
+    "T", "tracked_ok", "n_inliers", "n_map_inliers", "n_matches",
+    "tracked_close",
     "nontracked_close", "manhattan_found", "use_manhattan", "new_plane",
 )
 KFX_KEYS = ("kp_mp", "plane_assoc", "plane_valid", "line_assoc")
@@ -1169,12 +1194,27 @@ PAYLOAD_KEYS = (
 def pull_payload(result: dict, idx=None) -> dict:
     """Keyframe payload in TWO transfers (flat f32 pack + the uint32
     descriptors).  idx: chunk mode — slice one frame on device first."""
+    import os as _os
+    import time as _t
+
     flat_d = result["payload_flat"]
     desc_d = result["feats"]["desc"]
     if idx is not None:
         i = np.int32(idx)
         flat_d, desc_d = _dyn_row(flat_d, i), _dyn_row(desc_d, i)
-    flat, desc = jax.device_get((flat_d, desc_d))
+    if _os.environ.get("MSLAM_DEBUG_PULL"):
+        t0 = _t.perf_counter()
+        jax.block_until_ready(flat_d)  # queue drain + slice exec
+        t1 = _t.perf_counter()
+        flat, desc = jax.device_get((flat_d, desc_d))  # transfer only
+        t2 = _t.perf_counter()
+        print(
+            f"    payload: drain {1e3 * (t1 - t0):.0f} ms, "
+            f"xfer {1e3 * (t2 - t1):.0f} ms  (row {flat_d.size * 4} B)",
+            flush=True,
+        )
+    else:
+        flat, desc = jax.device_get((flat_d, desc_d))
     flat = np.asarray(flat)
     out: dict = {}
     off = 0
@@ -1250,10 +1290,15 @@ def pull_chunk_summary(result: dict, n_map: int, n_ml: int):
 
 def pull_kfx(result: dict, idx: int) -> dict:
     """Fetch one frame's keyframe extras (kp_mp / plane_assoc /
-    plane_valid / line_assoc) — one transfer, chunk mode only."""
-    flat = np.asarray(
-        jax.device_get(_dyn_row(result["kfx_flat"], np.int32(idx)))
-    )
+    plane_valid / line_assoc) — chunk mode only.
+
+    Pulls the WHOLE chunk's kfx block (~70 KB) and slices the frame on
+    host: the dispatch path primes `copy_to_host_async` on it right
+    behind the chunk's compute, so the bytes are host-side by decision
+    time — a device-side row slice here would be a fresh device op that
+    waits behind every in-flight chunk on the in-order queue (~150-200 ms
+    per keyframe event)."""
+    flat = np.asarray(jax.device_get(result["kfx_flat"]))[int(idx)]
     out: dict = {}
     off = 0
     for k in KFX_KEYS:

@@ -53,7 +53,16 @@ class FastTracker:
                 cfg, enable_planes=enable_planes, enable_lines=enable_lines
             )
             self.chunk_step = None
-        self.carry = dt.init_carry(cfg)
+        # vo_points=True: the temporal VO bank (previous frame's keypoints
+        # back-projected in the carry, device_tracker.py:605-655) anchors
+        # intra-chunk tracking while the map view is frozen for the chunk.
+        # The reference gets away without it in SLAM mode because its
+        # keyframe insertion latency is ~1 frame (Tracking.cc:1545);
+        # chunked dispatch makes that latency C..2C frames, and map
+        # coverage alone starves during exploration.  The keyframe policy
+        # is driven by the separate map-only inlier count, so the VO bank
+        # cannot suppress keyframing.
+        self.carry = dt.init_carry(cfg, vo_points=True)
         self.view = None  # device map view
         # pipeline=True: dispatch frame/chunk k before pulling k-1's
         # summary, hiding the host<->device sync latency behind device
@@ -93,8 +102,23 @@ class FastTracker:
             self._pull_pool = concurrent.futures.ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="mslam-pull"
             )
+            # mapping-backend worker: the reference runs LocalMapping +
+            # SurfelMapping on their own threads (System.cc:90-107); here
+            # ONE worker owns each keyframe's backend job (mapper stages,
+            # surfel fusion, reloc indexing, view rebuild).  The main
+            # thread joins it at the next chunk's summary — during which
+            # it is blocked on the device anyway — so the ~0.5-1 s of
+            # backend work per keyframe overlaps device compute instead of
+            # stalling the dispatch loop.  Safe because the temporal VO
+            # bank anchors tracking through a stale view and the epoch
+            # gate blocks stale-view keyframe decisions.
+            self._map_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="mslam-mapper"
+            )
         else:
             self._pull_pool = None
+            self._map_pool = None
+        self._mapper_fut = None
 
         # host-phase accounting (seconds + event counts per section):
         # the perf story of this system is host overhead between device
@@ -210,12 +234,16 @@ class FastTracker:
             )
             try:
                 results["chunk_flat"].copy_to_host_async()
+                results["kfx_flat"].copy_to_host_async()
             except (AttributeError, KeyError):
                 pass
             self.carry = new_carry
             self.last_result = results
-            out2 = self._process_chunk(metas, results)
+            out2 = self._process_chunk(
+                metas, results, epoch=self._view_applied_epoch
+            )
             out = out2 if out2 is not None else out
+        self.join_mapper()
         return out
 
     def _timed(self, section: str):
@@ -261,6 +289,7 @@ class FastTracker:
             # waits behind the NEXT two chunks' device work (~350 ms).
             try:
                 results["chunk_flat"].copy_to_host_async()
+                results["kfx_flat"].copy_to_host_async()
             except (AttributeError, KeyError):  # single-frame result shape
                 pass
         self.carry = new_carry
@@ -273,13 +302,17 @@ class FastTracker:
                 dt.pull_chunk_summary, results,
                 self.cfg.caps.max_map_points, self.cfg.caps.max_map_lines,
             )
-            self._pending.append((metas, results, fut))
+            self._pending.append(
+                (metas, results, fut, self._view_applied_epoch)
+            )
             if len(self._pending) >= self.pipeline_depth + 1:
                 out = self._process_chunk(*self._pending.pop(0))
             return out
-        return self._process_chunk(metas, results)
+        return self._process_chunk(
+            metas, results, epoch=self._view_applied_epoch
+        )
 
-    def _process_chunk(self, metas, results, fut=None):
+    def _process_chunk(self, metas, results, fut=None, epoch=None):
         # ONE transfer: per-frame cores + chunk-accumulated landmark stats
         with self._timed("summary_pull"):
             if fut is not None:
@@ -289,6 +322,11 @@ class FastTracker:
                     results, self.cfg.caps.max_map_points,
                     self.cfg.caps.max_map_lines,
                 )
+        # join the in-flight mapping-backend job AFTER the summary wait
+        # (the worker crunched while this thread was device-blocked); from
+        # here on the map is read/written on this thread only
+        with self._timed("mapper_join"):
+            self.join_mapper()
         # landmark found/visible counts were accumulated on device over
         # the chunk (tracked_ok-gated); applied once per chunk — the same
         # latency class as the reference's asynchronous LocalMapping
@@ -300,7 +338,8 @@ class FastTracker:
         out = None
         for i, (ts, fid, _g8, _d16, gray, depth) in enumerate(metas):
             pose = self._finish_frame(ts, results, s=cores[i], idx=i,
-                                      frame_id=fid, gray=gray, depth=depth)
+                                      frame_id=fid, gray=gray, depth=depth,
+                                      epoch=epoch)
             out = pose if pose is not None else out
             if self._chunk_restart:
                 # mid-chunk loss + successful relocalization: the remaining
@@ -334,7 +373,7 @@ class FastTracker:
 
     def _finish_frame(
         self, timestamp: float, result, s=None, idx=None, frame_id=None,
-        gray=None, depth=None,
+        gray=None, depth=None, epoch=None,
     ) -> np.ndarray | None:
         if s is None:
             s = dt.pull_summary(result)  # single transfer
@@ -383,6 +422,7 @@ class FastTracker:
         self.T_cw = s["T"].astype(np.float32)
         self.velocity = None  # velocity lives in the device carry
         self.n_inliers = int(s["n_inliers"])
+        self.n_map_inliers = int(s.get("n_map_inliers", s["n_inliers"]))
         self.n_ok_frames += 1
         # Manhattan-path usage telemetry (Tracking.cc:257-275 branch):
         # the low-texture proof and the bench report what fraction of
@@ -407,7 +447,27 @@ class FastTracker:
             # np.add.at counts duplicates (two frame lines -> same map line)
             np.add.at(m.ml_found, matched_ml, 1)
 
-        if not self.only_tracking and self._need_new_keyframe(s, frame_id):
+        # view-staleness gate (the reference's "mapper busy" c1b arm,
+        # Tracking.cc:1454): a frame computed against a view OLDER than the
+        # last keyframe's refresh reports artificially low map matches —
+        # the refreshed view usually covers it.  Only frames dispatched
+        # under the current view may mint keyframes; the temporal VO bank
+        # keeps tracking anchored meanwhile.  Override: once the camera is
+        # a full chunk past the last keyframe, its viewpoint has left that
+        # keyframe's coverage anyway — letting such frames mint caps the
+        # pipeline-induced inter-keyframe floor at ~chunk frames instead
+        # of ~3 chunks (a fresh chunk's round-trip), which is what keeps
+        # exploration drift at reference-like levels.
+        view_fresh = (
+            epoch is None
+            or epoch >= self._view_epoch
+            or frame_id >= self.last_kf_frame_id + max(self.chunk, 8)
+        )
+        if (
+            not self.only_tracking
+            and view_fresh
+            and self._need_new_keyframe(s, frame_id)
+        ):
             if chunk_core:
                 # fetch the keyframe extras for this one frame (lazy pull)
                 s = {**s, **dt.pull_kfx(result, idx)}
@@ -471,10 +531,16 @@ class FastTracker:
         tracked_close = int(s["tracked_close"])
         nontracked_close = int(s["nontracked_close"])
         need_close = tracked_close < 100 and nontracked_close > 70
+        # the ratio arm watches MAP matches (TrackedMapPoints semantics):
+        # with the temporal VO bank active, total inliers stay high while
+        # map coverage starves — exactly when a keyframe is needed.  The
+        # >15 pose-trust arm uses TOTAL inliers: a VO-carried pose is a
+        # valid keyframe pose even at near-zero map matches.
+        map_inl = getattr(self, "n_map_inliers", self.n_inliers)
         c1a = since_kf >= self.max_frames
-        c1c = self.n_inliers < ref_matches * 0.25 or need_close
+        c1c = map_inl < ref_matches * 0.25 or need_close
         c2 = (
-            self.n_inliers < ref_matches * th_ref or need_close
+            map_inl < ref_matches * th_ref or need_close
         ) and self.n_inliers > 15
         # new-plane trigger (Tracking.cc:1494), but only for a plane that
         # PERSISTS unassociated across >= 2 consecutive frames — a one-frame
@@ -545,11 +611,32 @@ class FastTracker:
         # chunk mode: the keyframe's own gray/depth for the surfel mapper
         # (System's last-frame copy would be a younger frame)
         self.kf_gray, self.kf_depth = gray, depth
-        if self.on_keyframe is not None:
-            with self._timed("mapping_backend"):
-                self.on_keyframe(kf_id, payload["feats"], feats_np)
-        self.refresh_view()
         self._ref_matches = None
+        # synchronous mini-refresh (~15 ms: the view diff is incremental):
+        # the new keyframe's points enter the device view NOW, so the very
+        # next dispatched chunk tracks against them — and may mint the
+        # next keyframe (epoch re-arms at the applied value).  Frames
+        # already in flight keep their stale tag and cannot mint.
+        self._view_epoch += 1
+        self._refresh_view_apply()
+
+        def backend_job():
+            if self.on_keyframe is not None:
+                with self._timed("mapping_backend"):
+                    self.on_keyframe(kf_id, payload["feats"], feats_np)
+            # second, content-only refresh: triangulated / fused / culled
+            # landmarks from the mapper stages reach the device view
+            # without invalidating in-flight keyframe decisions — the
+            # reference's tracker reads a concurrently-mutating map the
+            # same way (LocalMapping runs during TrackLocalMap)
+            self._refresh_view_apply()
+
+        if self._map_pool is not None:
+            # LocalMapping-thread parity: the backend overlaps the next
+            # chunks' device compute; joined in _process_chunk
+            self._mapper_fut = self._map_pool.submit(backend_job)
+        else:
+            backend_job()
 
     kf_membership = None
     kf_gray = None
@@ -728,7 +815,7 @@ class FastTracker:
         self.ref_kf = kf_id
         self.last_kf_frame_id = self.frame_id
         self.state = OK
-        self.carry = dt.init_carry(self.cfg, vo_points=self.only_tracking)
+        self.carry = dt.init_carry(self.cfg, vo_points=True)
         membership = result["plane_membership"]
         self.kf_membership = (
             membership if idx is None
@@ -766,7 +853,27 @@ class FastTracker:
 
     _shadow = None  # host snapshot of what the device view holds
 
+    # view epochs: _view_epoch bumps synchronously whenever the map state
+    # a dispatched chunk saw becomes stale (keyframe insertion);
+    # _view_applied_epoch records the epoch of the view actually installed
+    # on device.  A frame may mint a keyframe only if the view it was
+    # computed against is current (tag == _view_epoch).
+    _view_epoch = 0
+    _view_applied_epoch = 0
+
+    def join_mapper(self) -> None:
+        """Wait for the in-flight mapping-backend job (no-op if none)."""
+        fut = self._mapper_fut
+        if fut is not None:
+            self._mapper_fut = None
+            fut.result()
+
     def refresh_view(self) -> None:
+        self._view_epoch += 1
+        self._refresh_view_apply()
+
+    def _refresh_view_apply(self) -> None:
+        target_epoch = self._view_epoch
         with self._timed("refresh_view"):
             host = dt.build_host_view(
                 self.cfg, self.map, self.reg2, self.reg3, self.ref_kf
@@ -777,11 +884,13 @@ class FastTracker:
                 updates = dt.diff_host_views(self._shadow, host)
                 self.view = dt.apply_view_update(self.view, updates)
             self._shadow = host
+        self._view_applied_epoch = target_epoch
 
     # --------------------------------------------------------------- reloc
     def _relocalize(self, result, idx=None) -> bool:
         if self.reloc_module is None:
             return False
+        self.join_mapper()  # reloc reads the map; no concurrent mutation
         with self._timed("relocalize"):
             return self._relocalize_inner(result, idx)
 
@@ -793,7 +902,7 @@ class FastTracker:
         if T is None:
             return False
         self.T_cw = T.astype(np.float32)
-        self.carry = dt.init_carry(self.cfg, self.T_cw, vo_points=self.only_tracking)
+        self.carry = dt.init_carry(self.cfg, self.T_cw, vo_points=True)
         self.n_inliers = 50
         self.last_reloc_frame_id = self.frame_id
         self._ref_matches = None

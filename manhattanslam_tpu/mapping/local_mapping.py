@@ -95,8 +95,7 @@ class LocalMapper:
 
         for stage in (
             self.cull_map_points,
-            self.create_new_points,
-            self.fuse_neighbors,
+            self.create_and_fuse,
             self.fuse_lines,
             self.refresh_point_landmarks,
             self.cull_keyframes,
@@ -106,6 +105,27 @@ class LocalMapper:
             t0 = _time.perf_counter()
             stage(kf_id)
             self.perf[stage.__name__] += _time.perf_counter() - t0
+
+    def create_and_fuse(self, kf_id: int) -> None:
+        """CreateNewMapPoints + SearchInNeighbors with ONE device sync:
+        both programs dispatch back-to-back, then one blocking pull pays
+        the in-order-queue drain once instead of twice per keyframe event.
+        The fusion banks are built from the PRE-triangulation tables, so
+        this keyframe's brand-new points first fuse at the next keyframe —
+        one event later than the reference's ordering
+        (LocalMapping.cc:303-622), at identical steady-state coverage."""
+        tri_job = self._tri_dispatch(kf_id)
+        fuse_job = self._fuse_dispatch(kf_id)
+        pulled = jax.device_get(
+            (
+                tri_job[0] if tri_job is not None else None,
+                (fuse_job[0], fuse_job[1]) if fuse_job is not None else None,
+            )
+        )
+        if tri_job is not None:
+            self._tri_apply(kf_id, pulled[0], tri_job[1])
+        if fuse_job is not None:
+            self._fuse_apply(kf_id, pulled[1][0], pulled[1][1], fuse_job[2])
 
     # -------------------------------------------------------------- culling
     def _obs_counts(self) -> np.ndarray:
@@ -210,6 +230,13 @@ class LocalMapper:
     def create_new_points(self, kf_id: int, n_neighbors: int = 10) -> None:
         """Triangulate new far points against top covisible keyframes —
         ONE vmapped device call over a padded neighbor stack."""
+        job = self._tri_dispatch(kf_id, n_neighbors)
+        if job is None:
+            return
+        outs_d, neighbors = job
+        self._tri_apply(kf_id, jax.device_get(outs_d), neighbors)
+
+    def _tri_dispatch(self, kf_id: int, n_neighbors: int = 10):
         m = self.map
         neighbors = m.covisible_kfs(kf_id)[:n_neighbors]
         # baseline check (LocalMapping.cc:354-372): skip tiny baselines
@@ -219,17 +246,21 @@ class LocalMapper:
             >= self.cfg.camera.baseline
         ][: self.N_TRI_NEIGHBORS]
         if not neighbors:
-            return
+            return None
         kp1 = self._kf_kp_view(kf_id, only_free=True)
         T1 = jnp.asarray(m.kf_pose[kf_id])
         kp2s = self._kf_kp_stack(neighbors, self.N_TRI_NEIGHBORS,
                                  only_free=True)
         sl = np.zeros(self.N_TRI_NEIGHBORS, np.int64)
         sl[: len(neighbors)] = neighbors
-        outs = jax.device_get(tri.triangulate_pairs(
+        outs_d = tri.triangulate_pairs(
             kp1, kp2s, T1, jnp.asarray(m.kf_pose[sl]),
             self.K, jnp.float32(self.cfg.orb.scale_factor),
-        ))
+        )
+        return outs_d, neighbors
+
+    def _tri_apply(self, kf_id: int, outs, neighbors) -> None:
+        m = self.map
         claimed = np.zeros(len(m.kf_mp_idx[kf_id]), bool)
         for j, nb in enumerate(neighbors):
             out = {k: v[j] for k, v in outs.items()}
@@ -289,6 +320,16 @@ class LocalMapper:
         neighbors, :536-542), fused in BOTH directions — this KF's points
         into every target (:546-560) AND the union of the targets' points
         into this KF (:562-601)."""
+        job = self._fuse_dispatch(kf_id, n_neighbors, n_second)
+        if job is None:
+            return
+        outs1_d, out2_d, jobs = job
+        outs1, out2 = jax.device_get((outs1_d, out2_d))
+        self._fuse_apply(kf_id, outs1, out2, jobs)
+
+    def _fuse_dispatch(
+        self, kf_id: int, n_neighbors: int = 10, n_second: int = 5
+    ):
         m = self.map
         first = [int(k) for k in m.covisible_kfs(kf_id)[:n_neighbors]]
         targets = list(first)
@@ -303,7 +344,7 @@ class LocalMapper:
         my_ids = np.unique(my_ids[my_ids >= 0])
         my_ids = my_ids[m.mp_valid[my_ids]]
         if len(my_ids) == 0 or len(targets) == 0:
-            return
+            return None
 
         N_TG = 24  # fixed target-stack size (one compiled program)
         targets = targets[:N_TG]
@@ -343,8 +384,10 @@ class LocalMapper:
                 kf_feats_one(m, kf_id), self.K, h, w,
             )
             jobs.append((kf_id, tgt_pad, None))
-        # ONE batched pull for every direction/target
-        outs1, out2 = jax.device_get((outs1_d, out2_d))
+        return outs1_d, out2_d, jobs
+
+    def _fuse_apply(self, kf_id: int, outs1, out2, jobs) -> None:
+        m = self.map
         results = [
             ({k: v[j] for k, v in outs1.items()} if j is not None else out2)
             for _, _, j in jobs

@@ -26,6 +26,15 @@ DRIFT_FREE_POSES = 10
 STABLE_UPDATES = 5
 
 
+import jax as _jax
+
+
+@_jax.jit
+def _window_active(attach_kf, valid, lut):
+    """active[i] = valid[i] and attach_kf[i] in the drift-free window."""
+    return valid & lut[jnp.clip(attach_kf, 0, lut.shape[0] - 1)]
+
+
 class SurfelMapper:
     def __init__(self, cfg: SlamConfig, slam_map: SlamMap):
         self.cfg = cfg
@@ -79,22 +88,34 @@ class SurfelMapper:
         self.n_keyframes += 1
         self._last_inserted = kf_id
 
-        # drift-free window: BFS <=10 hops from the current pose
+        # drift-free window: BFS <=10 hops from the current pose.  The
+        # membership test runs ON DEVICE via a keyframe-id lookup table
+        # (256-byte upload) — pulling attach_kf here cost a full in-order
+        # queue drain (~250 ms behind in-flight tracking chunks) per
+        # keyframe event.
         window = self._bfs_window(kf_id)
-        attach = np.asarray(self.surfels["attach_kf"])
-        active = np.isin(attach, list(window))
-        self.surfels["active"] = jnp.asarray(active)
+        lut = np.zeros(self.cfg.caps.max_keyframes, bool)
+        lut[np.fromiter(window, int)] = True
+        self.surfels["active"] = _window_active(
+            self.surfels["attach_kf"], self.surfels["valid"],
+            jnp.asarray(lut),
+        )
 
-        # plane-pixel exclusion mask at full resolution
+        # plane-pixel exclusion mask at full resolution — built on DEVICE
+        # (the membership usually IS a device array from the fused tracking
+        # step; pulling it to host cost a full queue drain per keyframe)
         H, W = gray.shape
-        plane_mask = np.zeros((H, W), bool)
         memb = plane_membership
         if memb is None and plane_module is not None and plane_module.frame_planes is not None:
             memb = plane_module.frame_planes["membership"]  # half-res
         if memb is not None:
-            memb = np.asarray(memb)
-            up = np.repeat(np.repeat(memb >= 0, 2, 0), 2, 1)
-            plane_mask[: up.shape[0], : up.shape[1]] = up[:H, :W]
+            up = jnp.repeat(jnp.repeat(jnp.asarray(memb) >= 0, 2, 0), 2, 1)
+            uh, uw = min(up.shape[0], H), min(up.shape[1], W)
+            plane_mask = (
+                jnp.zeros((H, W), bool).at[:uh, :uw].set(up[:uh, :uw])
+            )
+        else:
+            plane_mask = jnp.zeros((H, W), bool)
 
         sp = surf_ops.superpixels(
             jnp.asarray(gray), jnp.asarray(depth), jnp.asarray(plane_mask), self.K

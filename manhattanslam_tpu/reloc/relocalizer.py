@@ -33,7 +33,6 @@ from manhattanslam_tpu.config import SlamConfig
 from manhattanslam_tpu.frontend import tracking_ops
 from manhattanslam_tpu.frontend.frame import backproject_keypoints
 from manhattanslam_tpu.ops import lm, matching, ransac_pose
-from manhattanslam_tpu.ops.orb import unpack_descriptor_bits
 from manhattanslam_tpu.slam_map import SlamMap
 
 N_BITS = 12  # hyperplane bits per bank
@@ -47,9 +46,10 @@ class Relocalizer:
         self.map = slam_map
         rng = np.random.default_rng(1234)
         # random hyperplanes over the 256-bit descriptor space
-        self.planes = jnp.asarray(
-            rng.normal(size=(256, N_BANKS * N_BITS)).astype(np.float32)
+        self.planes_np = rng.normal(size=(256, N_BANKS * N_BITS)).astype(
+            np.float32
         )
+        self.planes = jnp.asarray(self.planes_np)
         self.kf_bow = np.zeros(
             (cfg.caps.max_keyframes, N_BANKS * N_WORDS), np.float32
         )
@@ -65,27 +65,33 @@ class Relocalizer:
         self.kf_bow[:] = 0
 
     # ----------------------------------------------------------------- BoW
-    def compute_bow(self, desc: jnp.ndarray, valid: jnp.ndarray) -> np.ndarray:
-        """Concatenated L1-normalized word histograms, one per LSH bank."""
-        bits = 2.0 * unpack_descriptor_bits(desc) - 1.0  # (N, 256)
-        proj = (bits @ self.planes).reshape(-1, N_BANKS, N_BITS)
-        words = jnp.sum(
-            (proj > 0).astype(jnp.int32)
-            * (2 ** jnp.arange(N_BITS, dtype=jnp.int32))[None, None],
-            -1,
-        )  # (N, BANKS)
-        flat = words + N_WORDS * jnp.arange(N_BANKS, dtype=jnp.int32)[None]
-        hist = (
-            jnp.zeros(N_BANKS * N_WORDS, jnp.float32)
-            .at[flat.ravel()]
-            .add(jnp.repeat(valid.astype(jnp.float32), N_BANKS))
+    def compute_bow(self, desc, valid) -> np.ndarray:
+        """Concatenated L1-normalized word histograms, one per LSH bank.
+
+        Pure host numpy: a (N,256)x(256,48) product costs ~50 us on CPU,
+        while the device round trip used to wait behind every in-flight
+        chunk on the in-order tunnel queue (~250 ms per keyframe event on
+        the mapping-backend thread)."""
+        desc = np.asarray(desc)
+        valid = np.asarray(valid)
+        # (N, 8) uint32 -> (N, 256) bits, same global bit order as the
+        # device unpack (little-endian within each word)
+        bits = np.unpackbits(
+            desc.view(np.uint8), axis=-1, bitorder="little"
+        ).astype(np.float32)
+        proj = ((2.0 * bits - 1.0) @ self.planes_np).reshape(
+            -1, N_BANKS, N_BITS
         )
-        return np.asarray(hist / jnp.sum(hist).clip(1e-9))
+        words = ((proj > 0) << np.arange(N_BITS)[None, None]).sum(-1)
+        flat = (words + N_WORDS * np.arange(N_BANKS)[None]).ravel()
+        hist = np.zeros(N_BANKS * N_WORDS, np.float32)
+        np.add.at(hist, flat, np.repeat(valid.astype(np.float32), N_BANKS))
+        return hist / max(hist.sum(), 1e-9)
 
     def add_keyframe(self, kf_id: int) -> None:
         m = self.map
         self.kf_bow[kf_id] = self.compute_bow(
-            jnp.asarray(m.kf_desc[kf_id]), jnp.asarray(m.kf_kp_valid[kf_id])
+            m.kf_desc[kf_id], m.kf_kp_valid[kf_id]
         )
 
     def detect_candidates(self, feats: dict, max_cand: int = 5) -> list[int]:

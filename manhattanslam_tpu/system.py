@@ -161,6 +161,8 @@ class System:
 
     def reset(self) -> None:
         """System reset (Tracking::Reset, Tracking.cc:2057-2087)."""
+        if hasattr(self.tracker, "join_mapper"):
+            self.tracker.join_mapper()
         self.map = SlamMap(self.cfg)
         if self.fast:
             from manhattanslam_tpu.frontend.fast_tracking import FastTracker
@@ -227,10 +229,21 @@ class System:
 
     # ------------------------------------------------------------ internals
     def _on_keyframe(self, kf_id: int, feats, feats_np: dict) -> None:
+        import time as _time
+
+        from collections import defaultdict
+
+        if not hasattr(self, "kf_perf"):
+            self.kf_perf = defaultdict(float)
+        t0 = _time.perf_counter()
         if self.local_mapper is not None:
             self.local_mapper.process_keyframe(kf_id)
+        t1 = _time.perf_counter()
+        self.kf_perf["local_mapper"] += t1 - t0
         if self.tracker.reloc_module is not None:
             self.tracker.reloc_module.add_keyframe(kf_id)
+        t2 = _time.perf_counter()
+        self.kf_perf["reloc_add"] += t2 - t1
         if self.surfel_mapper is not None and self._last_gray is not None:
             membership = None
             gray, depth = self._last_gray, self._last_depth
@@ -248,3 +261,4 @@ class System:
                 self.tracker.plane_module, plane_membership=membership,
                 ref_kf=getattr(self.tracker, "prev_ref_kf", None),
             )
+            self.kf_perf["surfel_insert"] += _time.perf_counter() - t2
