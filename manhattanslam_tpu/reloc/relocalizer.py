@@ -72,7 +72,7 @@ class Relocalizer:
         while the device round trip used to wait behind every in-flight
         chunk on the in-order tunnel queue (~250 ms per keyframe event on
         the mapping-backend thread)."""
-        desc = np.asarray(desc)
+        desc = np.ascontiguousarray(desc)
         valid = np.asarray(valid)
         # (N, 8) uint32 -> (N, 256) bits, same global bit order as the
         # device unpack (little-endian within each word)
